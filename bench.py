@@ -1,0 +1,89 @@
+"""Benchmark: proxy-rep -> SMPL inference throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): proxy-representation -> SMPL inferences/sec
+on one chip (flagship ResNet-18 + IEF x3 + full SMPL forward, batch 64,
+256x256x18 input).  `vs_baseline` is the ratio against the same jitted
+pipeline on one host CPU — the stand-in for the reference's CPU path, since
+the torch reference cannot run here (licensed SMPL assets + checkpoints are
+absent; BASELINE.json configs[0] names the CPU reference).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_forward(device):
+    import jax
+    import jax.numpy as jnp
+    from straps_tpu.geometry import rot6d_to_rotmat
+    from straps_tpu.models import build_regressor
+    from straps_tpu.smpl import load_synthetic_assets, smpl_forward
+
+    assets = load_synthetic_assets()
+    model = build_regressor(assets.mean_pose_6d, assets.mean_shape)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 256, 18)), train=False)
+    variables = jax.device_put(variables, device)
+    assets_dev = jax.device_put(assets, device)
+
+    def forward(proxy):
+        cam, pose6d, shape = model.apply(variables, proxy, train=False)
+        rm = rot6d_to_rotmat(pose6d.reshape(proxy.shape[0], 24, 6))
+        out = smpl_forward(assets_dev, shape, rm[:, 1:], rm[:, 0:1])
+        reposed = smpl_forward(assets_dev, shape)
+        return out.vertices, out.joints, reposed.vertices, cam
+
+    return jax.jit(forward)
+
+
+def throughput(fn, proxy, iters: int, batch: int) -> float:
+    import jax
+    out = fn(proxy)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(proxy)
+    jax.block_until_ready(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    batch = 64
+    rng = np.random.RandomState(0)
+    proxy_np = (rng.rand(batch, 256, 256, 18) < 0.02).astype(np.float32)
+
+    tpu_dev = jax.devices()[0]
+    fn_tpu = build_forward(tpu_dev)
+    proxy_tpu = jax.device_put(jnp.asarray(proxy_np), tpu_dev)
+    tpu_ips = throughput(fn_tpu, proxy_tpu, iters=30, batch=batch)
+
+    try:
+        # CPU baseline on a small batch (this host has 1 core; the per-image
+        # cost is batch-size-insensitive on CPU).
+        cpu_batch = 4
+        cpu_dev = jax.devices("cpu")[0]
+        fn_cpu = build_forward(cpu_dev)
+        proxy_cpu = jax.device_put(jnp.asarray(proxy_np[:cpu_batch]), cpu_dev)
+        cpu_ips = throughput(fn_cpu, proxy_cpu, iters=1, batch=cpu_batch)
+    except Exception:
+        cpu_ips = float("nan")
+
+    vs_baseline = tpu_ips / cpu_ips if cpu_ips == cpu_ips else -1.0
+    print(json.dumps({
+        "metric": "proxy_to_smpl_inferences_per_sec_per_chip",
+        "value": round(tpu_ips, 2),
+        "unit": "inferences/sec",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Prediction CLI — surface parity with the reference `run_predict.py:22-42`:
+
+    python -m straps_tpu.cli.run_predict --input ./demo_proxies \
+        --checkpoint ckpt_dir_or_reference.tar --silh-from cached
+"""
+
+import argparse
+
+from straps_tpu.config import PredictConfig
+from straps_tpu.predict import predict_3d
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Predict 3D human shape/pose")
+    parser.add_argument("--input", required=True,
+                        help="input dir (cached proxies: *_silhouette.npy + "
+                             "*_joints2D.npy)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax checkpoint dir or reference .tar")
+    parser.add_argument("--silh-from", default="cached",
+                        choices=["cached", "pointrend", "densepose"])
+    parser.add_argument("--out-dir", default="predict_out")
+    parser.add_argument("--resnet-layers", type=int, default=18)
+    parser.add_argument("--smpl-dir", default=None)
+    args = parser.parse_args(argv)
+
+    cfg = PredictConfig(input_dir=args.input, checkpoint=args.checkpoint,
+                        silhouettes_from=args.silh_from, out_dir=args.out_dir,
+                        smpl_dir=args.smpl_dir)
+    cfg.model.resnet_layers = args.resnet_layers
+    out = predict_3d(cfg)
+    print(f"predicted {len(out['names'])} images -> {args.out_dir}")
+    for i, name in enumerate(out["names"]):
+        print(f"  {name}: cam_wp={out['cam_wp'][i].round(3).tolist()} "
+              f"betas[:3]={out['shape'][i][:3].round(3).tolist()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+"""Offline evaluation harness."""
+
+from straps_tpu.eval_harness.runner import (
+    load_eval_npz, run_evaluation, synthesise_proxy_inputs,
+)
+
+__all__ = ["load_eval_npz", "run_evaluation", "synthesise_proxy_inputs"]

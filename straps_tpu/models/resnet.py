@@ -1,0 +1,112 @@
+"""ResNet encoder (flax.linen), NHWC/TPU-native.
+
+Architecturally equivalent to the reference's torchvision-derived encoder
+(`models/resnet.py`: N-channel first conv, no final FC, global average pooled
+feature output) but written for XLA: NHWC layout so convolutions tile
+directly onto the MXU, BatchNorm statistics as flax mutable collections, and
+no in-place ops.  Weight-compatible with the reference checkpoints via
+`straps_tpu.models.convert`.
+"""
+
+from typing import Sequence, Type, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax momentum = 0.9).
+
+def _bn(train: bool, name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(epsilon=1e-5, momentum=0.9,
+                        use_running_average=not train, name=name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=1, use_bias=False, name="conv1")(x)
+        out = _bn(train, "bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      name="conv2")(out)
+        out = _bn(train, "bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = _bn(train, "downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.relu(_bn(train, "bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=1, use_bias=False, name="conv2")(out)
+        out = nn.relu(_bn(train, "bn2")(out))
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      name="conv3")(out)
+        out = _bn(train, "bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = _bn(train, "downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet without the classification head; returns pooled features.
+
+    Args mirror the reference constructors (`models/resnet.py:228-258`):
+    `layers` = blocks per stage, `block` = BasicBlock (18/34) or
+    Bottleneck (50+).  Input is NHWC with any channel count.
+    """
+    block: Type[Union[BasicBlock, Bottleneck]]
+    layers: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(_bn(train, "bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        planes = 64
+        in_planes = 64
+        for stage, num_blocks in enumerate(self.layers):
+            stride = 1 if stage == 0 else 2
+            for b in range(num_blocks):
+                s = stride if b == 0 else 1
+                needs_ds = (b == 0) and (
+                    s != 1 or in_planes != planes * self.block.expansion)
+                x = self.block(planes=planes, stride=s, downsample=needs_ds,
+                               name=f"layer{stage + 1}_{b}")(x, train=train)
+                in_planes = planes * self.block.expansion
+            planes *= 2
+        # Global average pool (adaptive avgpool to 1x1 + flatten).
+        return jnp.mean(x, axis=(1, 2))
+
+
+def resnet18() -> ResNetEncoder:
+    return ResNetEncoder(block=BasicBlock, layers=(2, 2, 2, 2))
+
+
+def resnet50() -> ResNetEncoder:
+    return ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3))
+
+
+FEATURE_DIMS = {18: 512, 50: 2048}

@@ -14,6 +14,7 @@ import pickle
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,20 +27,25 @@ _SYNTHETIC_CACHE = os.path.join(os.path.dirname(os.path.dirname(
 
 @dataclass(frozen=True)
 class SmplAssets:
-    """All body-model tensors as jnp arrays (a pytree leaf bundle)."""
+    """All body-model tensors as jnp arrays.
+
+    Registered as a jax pytree: tensor fields are leaves (so the whole bundle
+    can be device_put / donated / sharded), while the trace-time-static
+    fields (kinematic parents, IEF mean params) are hashable aux data.
+    """
     v_template: jnp.ndarray        # (V, 3)
     shapedirs: jnp.ndarray         # (V, 3, n_betas)
     posedirs: jnp.ndarray          # (23*9, V*3)
     J_regressor: jnp.ndarray       # (24, V)
     lbs_weights: jnp.ndarray       # (V, 24)
     faces: jnp.ndarray             # (F, 3) int32
-    parents: np.ndarray            # (24,) int — static, used at trace time
+    parents: tuple                 # (24,) ints — static, used at trace time
     J_regressor_extra: jnp.ndarray     # (9, V)
     J_regressor_cocoplus: jnp.ndarray  # (19, V)
     J_regressor_h36m: jnp.ndarray      # (17, V)
     face_parts: jnp.ndarray        # (F,) int32 body-part id per face
-    mean_pose_6d: np.ndarray       # (144,) static init for IEF
-    mean_shape: np.ndarray         # (10,) static init for shape augmentation
+    mean_pose_6d: tuple            # (144,) static init for IEF
+    mean_shape: tuple              # (10,) static init for shape augmentation
     is_synthetic: bool = False
 
     @property
@@ -60,13 +66,13 @@ def _to_assets(d: dict, dtype=jnp.float32, is_synthetic: bool = False) -> SmplAs
         J_regressor=j("J_regressor"),
         lbs_weights=j("lbs_weights"),
         faces=jnp.asarray(np.asarray(d["faces"]), dtype=jnp.int32),
-        parents=np.asarray(d["parents"], dtype=np.int32),
+        parents=tuple(int(x) for x in np.asarray(d["parents"])),
         J_regressor_extra=j("J_regressor_extra"),
         J_regressor_cocoplus=j("J_regressor_cocoplus"),
         J_regressor_h36m=j("J_regressor_h36m"),
         face_parts=jnp.asarray(np.asarray(d["face_parts"]), dtype=jnp.int32),
-        mean_pose_6d=np.asarray(d["mean_pose_6d"], dtype=np.float32),
-        mean_shape=np.asarray(d["mean_shape"], dtype=np.float32),
+        mean_pose_6d=tuple(float(x) for x in np.asarray(d["mean_pose_6d"])),
+        mean_shape=tuple(float(x) for x in np.asarray(d["mean_shape"])),
         is_synthetic=is_synthetic,
     )
 
@@ -165,3 +171,12 @@ def load_synthetic_assets(dtype=jnp.float32, seed: int = 0) -> SmplAssets:
             os.makedirs(os.path.dirname(_SYNTHETIC_CACHE), exist_ok=True)
             np.savez_compressed(_SYNTHETIC_CACHE, **d)
     return _to_assets(d, dtype=dtype, is_synthetic=True)
+
+
+jax.tree_util.register_dataclass(
+    SmplAssets,
+    data_fields=["v_template", "shapedirs", "posedirs", "J_regressor",
+                 "lbs_weights", "faces", "J_regressor_extra",
+                 "J_regressor_cocoplus", "J_regressor_h36m", "face_parts"],
+    meta_fields=["parents", "mean_pose_6d", "mean_shape", "is_synthetic"],
+)

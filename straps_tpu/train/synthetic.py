@@ -1,0 +1,153 @@
+"""Fused on-device synthetic proxy-input generation.
+
+The reference's per-step data generation
+(`train/train_synthetic_otf_rendering.py:112-182`) bounces GPU->CPU->GPU for
+the bbox crop and loops Python for heatmaps.  Here the whole stage —
+augment SMPL/cam -> SMPL forward -> perspective project -> rasterise ->
+on-device crop/resize -> degrade -> heatmaps -> stack proxy — is one pure
+function of a PRNG key that jits into the training step.  Everything is
+(B, ...) batched with static shapes.
+"""
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from straps_tpu import constants as C
+from straps_tpu.augment import (
+    augment_smpl, augment_cam_t, augment_proxy_representation,
+    random_verts2d_deviation,
+)
+from straps_tpu.config import TrainConfig
+from straps_tpu.geometry import (
+    get_intrinsics_matrix, perspective_project, batch_crop_and_resize,
+    joints_to_gaussian_heatmaps, check_joints2d_visibility,
+)
+from straps_tpu.render import render_part_seg
+from straps_tpu.smpl import SmplAssets, smpl_forward
+
+
+class SyntheticBatch(NamedTuple):
+    proxy: jnp.ndarray            # (B, H, W, 18) NHWC network input
+    target_verts: jnp.ndarray     # (B, V, 3)
+    target_reposed_verts: jnp.ndarray
+    target_joints_h36mlsp: jnp.ndarray   # (B, 14, 3)
+    target_joints2d_coco: jnp.ndarray    # (B, 17, 2) cropped-space pixels
+    target_vis: jnp.ndarray              # (B, 17) bool
+    target_pose_rotmats: jnp.ndarray     # (B, 24, 3, 3) incl. root
+    target_shape: jnp.ndarray            # (B, 10)
+
+
+def select_joint_sets(joints_all: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """90-joint superset -> (h36m-lsp14 3D joints, coco17 joints)."""
+    h36m = joints_all[:, jnp.asarray(C.ALL_JOINTS_TO_H36M_MAP)]
+    h36mlsp = h36m[:, jnp.asarray(C.H36M_TO_J14)]
+    coco = joints_all[:, jnp.asarray(C.ALL_JOINTS_TO_COCO_MAP)]
+    return h36mlsp, coco
+
+
+def build_proxy(seg: jnp.ndarray, joints2d: jnp.ndarray,
+                img_wh: int) -> jnp.ndarray:
+    """Binary silhouette + 17 joint heatmaps -> (B, H, W, 18) NHWC proxy
+    (the reference stacks NCHW, `train_synthetic_otf_rendering.py:178-182`)."""
+    sil = (seg > 0).astype(jnp.float32)[..., None]
+    hm = joints_to_gaussian_heatmaps(joints2d, img_wh)     # (B, 17, H, W)
+    return jnp.concatenate([sil, jnp.transpose(hm, (0, 2, 3, 1))], axis=-1)
+
+
+def generate_synthetic_batch(key, pose: jnp.ndarray, shape: jnp.ndarray,
+                             assets: SmplAssets, cfg: TrainConfig,
+                             augment: bool = True) -> SyntheticBatch:
+    """One fused synthetic-data step (train: augment=True, val: False —
+    mirroring `train_synthetic_otf_rendering.py:112-182` vs `:252-300`).
+
+    Args:
+      pose: (B, 72) axis-angle SMPL pose; shape: (B, 10) betas.
+    """
+    B = pose.shape[0]
+    img_wh = cfg.img_wh
+    keys = jax.random.split(key, 6)
+    mean_cam_t = jnp.tile(jnp.asarray(cfg.mean_cam_t, jnp.float32), (B, 1))
+    cam_K = jnp.asarray(get_intrinsics_matrix(img_wh, img_wh, cfg.focal_length))
+
+    smpl_aug_params = {
+        "augment_shape": cfg.smpl_augment.augment_shape and augment,
+        "delta_betas_distribution": cfg.smpl_augment.delta_betas_distribution,
+        "delta_betas_std_vector": np.full(10, cfg.smpl_augment.delta_betas_std,
+                                          np.float32),
+        "delta_betas_range": cfg.smpl_augment.delta_betas_range,
+    }
+    mean_shape = jnp.asarray(assets.mean_shape)
+    tgt_shape, tgt_pose_rm, tgt_glob_rm = augment_smpl(
+        keys[0], shape, pose[:, 3:], pose[:, :3], mean_shape, smpl_aug_params)
+    if augment:
+        cam_t = augment_cam_t(keys[1], mean_cam_t,
+                              xy_std=cfg.cam_augment.xy_std,
+                              delta_z_range=cfg.cam_augment.delta_z_range)
+    else:
+        cam_t = mean_cam_t
+
+    out = smpl_forward(assets, tgt_shape, tgt_pose_rm, tgt_glob_rm,
+                       precision=cfg.smpl_precision)
+    joints_h36mlsp, joints_coco = select_joint_sets(out.joints)
+    joints2d = perspective_project(joints_coco, jnp.eye(3), cam_t, cam_K)
+    reposed = smpl_forward(assets, tgt_shape, precision=cfg.smpl_precision)
+
+    verts_render = out.vertices
+    if augment and cfg.proxy_augment.deviate_verts2D:
+        verts_render = random_verts2d_deviation(
+            keys[2], out.vertices,
+            delta_range=cfg.proxy_augment.delta_verts2d_dev_range)
+
+    parts, _ = render_part_seg(verts_render, cam_t, cam_K, assets.faces,
+                               assets.face_parts, img_wh,
+                               backend=cfg.render.backend,
+                               interpret=cfg.render.interpret)
+    parts = parts.astype(jnp.float32)
+
+    if cfg.bbox_augment.crop_input:
+        if augment:
+            lo, hi = cfg.bbox_augment.delta_scale_range
+            sf = cfg.bbox_augment.mean_scale_factor + jax.random.uniform(
+                keys[3], (B,), minval=lo, maxval=hi)
+            clo, chi = cfg.bbox_augment.delta_centre_range
+            co = jax.random.uniform(keys[4], (B, 2), minval=clo, maxval=chi)
+        else:
+            sf = jnp.full((B,), cfg.bbox_augment.mean_scale_factor)
+            co = jnp.zeros((B, 2))
+        parts, joints2d = batch_crop_and_resize(parts, joints2d, img_wh, sf, co)
+
+    joints2d_input = joints2d
+    if augment:
+        proxy_aug_params = {
+            "remove_appendages": cfg.proxy_augment.remove_appendages,
+            "remove_appendages_classes": list(
+                cfg.proxy_augment.remove_appendages_classes),
+            "remove_appendages_probabilities": list(
+                cfg.proxy_augment.remove_appendages_probabilities),
+            "occlude_seg": cfg.proxy_augment.occlude_seg,
+            "occlude_probability": cfg.proxy_augment.occlude_probability,
+            "occlude_box_dim": cfg.proxy_augment.occlude_box_dim,
+            "deviate_joints2D": cfg.proxy_augment.deviate_joints2D,
+            "delta_j2d_dev_range": cfg.proxy_augment.delta_j2d_dev_range,
+            "delta_j2d_hip_dev_range": cfg.proxy_augment.delta_j2d_hip_dev_range,
+        }
+        parts, joints2d_input = augment_proxy_representation(
+            keys[5], parts, joints2d, proxy_aug_params)
+
+    proxy = build_proxy(parts, joints2d_input, img_wh)
+    vis = check_joints2d_visibility(joints2d, img_wh)
+    pose_rotmats = jnp.concatenate([tgt_glob_rm, tgt_pose_rm], axis=1)
+    return SyntheticBatch(
+        proxy=proxy,
+        target_verts=out.vertices,
+        target_reposed_verts=reposed.vertices,
+        target_joints_h36mlsp=joints_h36mlsp,
+        target_joints2d_coco=joints2d,
+        target_vis=vis,
+        target_pose_rotmats=pose_rotmats,
+        target_shape=tgt_shape,
+    )

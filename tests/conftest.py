@@ -17,3 +17,7 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: the fused train-step compile is expensive on
+# CPU; cache it across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

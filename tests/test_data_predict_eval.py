@@ -1,0 +1,111 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from straps_tpu.config import PredictConfig
+from straps_tpu.data import (
+    SyntheticTrainingDataset, epoch_batches, write_synthetic_corpus,
+)
+from straps_tpu.eval_harness import run_evaluation, synthesise_proxy_inputs
+from straps_tpu.predict import (
+    silhouette_joints_to_proxy, predict_3d, densepose_iuv_to_silhouette,
+)
+from straps_tpu.smpl import load_synthetic_assets
+
+
+class TestDataset:
+    def test_load_and_filter(self, tmp_path):
+        path = write_synthetic_corpus(str(tmp_path / "c.npz"), n=32)
+        ds = SyntheticTrainingDataset(path)
+        assert len(ds) == 32
+        item = ds[0]
+        assert item["pose"].shape == (72,) and item["shape"].shape == (10,)
+        ds_h36m = SyntheticTrainingDataset(path, params_from="h36m")
+        assert len(ds_h36m) == 8
+        ds_na = SyntheticTrainingDataset(path, params_from="not_amass")
+        assert len(ds_na) == 24
+
+    def test_epoch_batches_shapes_and_coverage(self, tmp_path):
+        path = write_synthetic_corpus(str(tmp_path / "c.npz"), n=32)
+        ds = SyntheticTrainingDataset(path)
+        rng = np.random.RandomState(0)
+        batches = list(epoch_batches(ds, 8, rng))
+        assert len(batches) == 4
+        assert batches[0]["pose"].shape == (8, 72)
+
+    def test_host_sharding_disjoint(self, tmp_path):
+        path = write_synthetic_corpus(str(tmp_path / "c.npz"), n=32)
+        ds = SyntheticTrainingDataset(path)
+        seen = []
+        for host in range(2):
+            rng = np.random.RandomState(7)  # same seed on both hosts
+            for b in epoch_batches(ds, 4, rng, host_id=host, num_hosts=2):
+                seen.append(b["pose"])
+        all_rows = np.concatenate(seen)
+        # 2 hosts x 16 rows; all 32 corpus rows seen exactly once
+        assert all_rows.shape == (32, 72)
+        assert len(np.unique(all_rows[:, 0])) == 32
+
+
+class TestPredict:
+    def _write_cached_proxies(self, d, n=2):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            sil = np.zeros((512, 512), np.float32)
+            sil[100:400, 150:350] = 1.0
+            np.save(os.path.join(d, f"{i:04d}_silhouette.npy"), sil)
+            joints = rng.uniform(160, 340, (17, 3)).astype(np.float32)
+            np.save(os.path.join(d, f"{i:04d}_joints2D.npy"), joints)
+
+    def test_proxy_construction(self):
+        sil = np.zeros((512, 512), np.float32)
+        sil[100:400, 150:350] = 1.0
+        joints = np.random.RandomState(0).uniform(160, 340, (17, 2)).astype(np.float32)
+        proxy, j_c = silhouette_joints_to_proxy(jnp.asarray(sil),
+                                                jnp.asarray(joints), 256)
+        assert proxy.shape == (256, 256, 18)
+        fg = float(np.asarray(proxy[..., 0]).mean())
+        assert 0.2 < fg < 0.9
+        assert float(np.asarray(proxy[..., 1:]).max()) == pytest.approx(1.0)
+
+    def test_predict_3d_cached(self, tmp_path):
+        d = str(tmp_path / "proxies")
+        self._write_cached_proxies(d)
+        cfg = PredictConfig(input_dir=d, out_dir=str(tmp_path / "out"),
+                            checkpoint=None)
+        out = predict_3d(cfg)
+        assert out["verts"].shape == (2, 6890, 3)
+        assert out["pose_rotmats"].shape == (2, 24, 3, 3)
+        assert os.path.exists(tmp_path / "out" / "0000_verts.npy")
+        assert np.all(np.isfinite(out["verts"]))
+
+    def test_densepose_binary(self):
+        i_ch = np.array([[0, 3], [24, 0]])
+        np.testing.assert_array_equal(densepose_iuv_to_silhouette(i_ch),
+                                      [[0, 1], [1, 0]])
+
+
+class TestEvalHarness:
+    def test_synthetic_eval_end_to_end(self, tmp_path):
+        rng = np.random.RandomState(0)
+        n = 8
+        dataset = {
+            "poses": (rng.randn(n, 72) * 0.2).astype(np.float32),
+            "shapes": (rng.randn(n, 10) * 0.5).astype(np.float32),
+            "genders": np.asarray(["n"] * n),
+        }
+        cfg = PredictConfig(img_wh=64)
+        metrics = run_evaluation(dataset, cfg,
+                                 metrics=("pves", "pve-ts_sc", "mpjpes_pa",
+                                          "silhouette_ious"),
+                                 batch_size=4,
+                                 save_per_frame=True,
+                                 save_path=str(tmp_path))
+        for k, v in metrics.items():
+            assert np.isfinite(v), (k, v)
+        assert 0.0 <= metrics["silhouette_ious"] <= 1.0
+        assert os.path.exists(tmp_path / "pves_per_frame.npy")
+        assert np.load(tmp_path / "pves_per_frame.npy").shape == (8,)

@@ -1,0 +1,150 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from straps_tpu.geometry import get_intrinsics_matrix
+from straps_tpu.render import (
+    project_to_screen, prepare_face_planes, face_chunk_row_bounds,
+    rasterize_xla, rasterize_pallas, face_ids_to_parts, render_part_seg,
+    FACE_CHUNK,
+)
+from straps_tpu.smpl import load_synthetic_assets
+
+
+def naive_rasterize(screen, z, faces, H, W):
+    """Per-pixel point-in-triangle oracle (numpy, single sample)."""
+    F = faces.shape[0]
+    fid = np.full((H, W), -1, np.int32)
+    depth = np.full((H, W), np.inf, np.float32)
+    for f in range(F):
+        p = screen[faces[f]]
+        zv = z[faces[f]]
+        area = (p[1, 0] - p[0, 0]) * (p[2, 1] - p[0, 1]) - \
+               (p[1, 1] - p[0, 1]) * (p[2, 0] - p[0, 0])
+        if abs(area) < 1e-9 or np.any(zv <= 1e-6):
+            continue
+        s = np.sign(area)
+        xmin = max(int(np.floor(p[:, 0].min())), 0)
+        xmax = min(int(np.ceil(p[:, 0].max())) + 1, W)
+        ymin = max(int(np.floor(p[:, 1].min())), 0)
+        ymax = min(int(np.ceil(p[:, 1].max())) + 1, H)
+        nx = (p[1, 1] - p[0, 1]) * (zv[2] - zv[0]) - (zv[1] - zv[0]) * (p[2, 1] - p[0, 1])
+        ny = (zv[1] - zv[0]) * (p[2, 0] - p[0, 0]) - (p[1, 0] - p[0, 0]) * (zv[2] - zv[0])
+        for y in range(ymin, ymax):
+            for x in range(xmin, xmax):
+                px, py = x + 0.5, y + 0.5
+                inside = True
+                for a, b in ((0, 1), (1, 2), (2, 0)):
+                    # cross(b - a, p - a), same sign as area when inside
+                    e = (p[b, 0] - p[a, 0]) * (py - p[a, 1]) - \
+                        (p[b, 1] - p[a, 1]) * (px - p[a, 0])
+                    if e * s < 0:
+                        inside = False
+                        break
+                if inside:
+                    zp = zv[0] - (nx * (px - p[0, 0]) + ny * (py - p[0, 1])) / area
+                    if zp < depth[y, x]:
+                        depth[y, x] = zp
+                        fid[y, x] = f
+    return fid, depth
+
+
+def make_triangle_scene():
+    """Two overlapping triangles at different depths, already in screen space."""
+    screen = np.array([
+        [8.0, 8.0], [56.0, 8.0], [8.0, 56.0],      # big triangle, far
+        [20.0, 20.0], [44.0, 20.0], [20.0, 44.0],  # small triangle, near
+    ], np.float32)
+    z = np.array([10.0, 10.0, 10.0, 5.0, 5.0, 5.0], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    return screen, z, faces
+
+
+class TestXlaRaster:
+    def test_two_triangles_vs_naive(self):
+        screen, z, faces = make_triangle_scene()
+        planes = prepare_face_planes(jnp.asarray(screen[None]),
+                                     jnp.asarray(z[None]),
+                                     jnp.asarray(faces)).planes
+        fid, depth = rasterize_xla(planes, 64, 64, chunk=2)
+        nfid, ndepth = naive_rasterize(screen, z, faces, 64, 64)
+        # Non-trivial scene: both faces must actually be visible.
+        assert np.any(nfid == 0) and np.any(nfid == 1)
+        np.testing.assert_array_equal(np.asarray(fid[0]), nfid)
+        fg = nfid >= 0
+        np.testing.assert_allclose(np.asarray(depth[0])[fg], ndepth[fg],
+                                   rtol=1e-5)
+
+    def test_winding_invariance(self):
+        screen, z, faces = make_triangle_scene()
+        flipped = faces[:, ::-1].copy()
+        p1 = prepare_face_planes(jnp.asarray(screen[None]), jnp.asarray(z[None]),
+                                 jnp.asarray(faces)).planes
+        p2 = prepare_face_planes(jnp.asarray(screen[None]), jnp.asarray(z[None]),
+                                 jnp.asarray(flipped)).planes
+        f1, _ = rasterize_xla(p1, 64, 64, chunk=2)
+        f2, _ = rasterize_xla(p2, 64, 64, chunk=2)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    def test_behind_camera_culled(self):
+        screen, z, faces = make_triangle_scene()
+        z[3:] = -1.0  # near triangle behind camera
+        planes = prepare_face_planes(jnp.asarray(screen[None]),
+                                     jnp.asarray(z[None]),
+                                     jnp.asarray(faces)).planes
+        fid, _ = rasterize_xla(planes, 64, 64, chunk=2)
+        assert not np.any(np.asarray(fid) == 1)
+        assert np.any(np.asarray(fid) == 0)
+
+    def test_synthetic_body_render(self):
+        """Whole synthetic SMPL body through projection + raster at 64x64."""
+        assets = load_synthetic_assets()
+        verts = assets.v_template[None]
+        cam_t = jnp.asarray(np.array([[0.0, 0.2, 42.0]], np.float32))
+        K = jnp.asarray(get_intrinsics_matrix(64, 64, 1250.0))
+        parts, depth = render_part_seg(verts, cam_t, K, assets.faces,
+                                       assets.face_parts, 64, backend="xla")
+        p = np.asarray(parts[0])
+        assert p.shape == (64, 64)
+        fg = (p > 0).mean()
+        assert 0.02 < fg < 0.9, f"foreground fraction {fg}"
+        # multiple parts visible
+        assert len(np.unique(p)) >= 3
+
+
+class TestPallasRaster:
+    def test_matches_xla_triangles(self):
+        screen, z, faces = make_triangle_scene()
+        sj, zj = jnp.asarray(screen[None]), jnp.asarray(z[None])
+        planes = prepare_face_planes(sj, zj, jnp.asarray(faces)).planes
+        bounds = face_chunk_row_bounds(sj, jnp.asarray(faces), FACE_CHUNK, 64)
+        fid_p, z_p = rasterize_pallas(planes, bounds, 64, 64, interpret=True)
+        fid_x, z_x = rasterize_xla(planes, 64, 64, chunk=2)
+        np.testing.assert_array_equal(np.asarray(fid_p), np.asarray(fid_x))
+        fg = np.asarray(fid_x) >= 0
+        np.testing.assert_allclose(np.asarray(z_p)[fg], np.asarray(z_x)[fg],
+                                   rtol=1e-5)
+
+    def test_matches_xla_synthetic_body(self):
+        assets = load_synthetic_assets()
+        verts = assets.v_template[None]
+        cam_t = jnp.asarray(np.array([[0.0, 0.2, 42.0]], np.float32))
+        K = jnp.asarray(get_intrinsics_matrix(64, 64, 1250.0))
+        screen, z = project_to_screen(verts, cam_t, K)
+        planes = prepare_face_planes(screen, z, assets.faces).planes
+        bounds = face_chunk_row_bounds(screen, assets.faces, FACE_CHUNK, 64)
+        fid_p, _ = rasterize_pallas(planes, bounds, 64, 64, interpret=True)
+        fid_x, _ = rasterize_xla(planes, 64, 64)
+        parts_p = np.asarray(face_ids_to_parts(fid_p, assets.face_parts))
+        parts_x = np.asarray(face_ids_to_parts(fid_x, assets.face_parts))
+        # Identical face picks except possible float ties: compare part maps.
+        mismatch = (parts_p != parts_x).mean()
+        assert mismatch < 0.002, f"part map mismatch {mismatch:.5f}"
+
+
+class TestPartsDecode:
+    def test_face_ids_to_parts(self):
+        fid = jnp.asarray(np.array([[-1, 0], [1, 2]], np.int32))
+        fparts = jnp.asarray(np.array([3, 5, 6], np.int32))
+        out = np.asarray(face_ids_to_parts(fid, fparts))
+        np.testing.assert_array_equal(out, [[0, 3], [5, 6]])
