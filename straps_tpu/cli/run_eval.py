@@ -1,0 +1,41 @@
+"""Evaluation CLI — the driver the reference never shipped
+(SURVEY.md §4.4: `EvalMetricsTracker` exists, no script):
+
+    python -m straps_tpu.cli.run_eval --dataset ssp3d.npz \
+        --checkpoint ckpt --metrics pves pve-ts_sc silhouette_ious
+"""
+
+import argparse
+import json
+
+from straps_tpu.config import PredictConfig
+from straps_tpu.eval_harness import load_eval_npz, run_evaluation
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate on SSP-3D/3DPW-style npz")
+    parser.add_argument("--dataset", required=True, help="eval npz path")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--metrics", nargs="+",
+                        default=["pves", "pves_sc", "pves_pa", "pve-ts",
+                                 "pve-ts_sc", "mpjpes", "mpjpes_sc",
+                                 "mpjpes_pa", "silhouette_ious"])
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--img-wh", type=int, default=256)
+    parser.add_argument("--smpl-dir", default=None)
+    parser.add_argument("--save-per-frame", default=None,
+                        help="dir for per-frame metric npy dumps")
+    args = parser.parse_args(argv)
+
+    cfg = PredictConfig(checkpoint=args.checkpoint, img_wh=args.img_wh,
+                        smpl_dir=args.smpl_dir)
+    dataset = load_eval_npz(args.dataset)
+    final = run_evaluation(dataset, cfg, metrics=tuple(args.metrics),
+                           batch_size=args.batch_size,
+                           save_per_frame=args.save_per_frame is not None,
+                           save_path=args.save_per_frame)
+    print(json.dumps({k: float(v) for k, v in final.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,9 @@ class PredictConfig:
     checkpoint: Optional[str] = None
     silhouettes_from: str = "cached"   # 'cached' | 'pointrend' | 'densepose'
     proxy_dir: Optional[str] = None    # dir of precomputed proxies (cached)
+    # detectron2-format detector checkpoints (converted on load):
+    keypoint_checkpoint: Optional[str] = None
+    silhouette_checkpoint: Optional[str] = None
     out_dir: str = "predict_out"
     img_wh: int = 256
     smpl_dir: Optional[str] = None

@@ -78,6 +78,9 @@ class ResNetEncoder(nn.Module):
     """
     block: Type[Union[BasicBlock, Bottleneck]]
     layers: Sequence[int]
+    # When True, return the dict of per-stage feature maps (res2..res5,
+    # FPN/detection backbone use) instead of the pooled feature vector.
+    return_stages: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -87,6 +90,7 @@ class ResNetEncoder(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         planes = 64
         in_planes = 64
+        stages = {}
         for stage, num_blocks in enumerate(self.layers):
             stride = 1 if stage == 0 else 2
             for b in range(num_blocks):
@@ -96,7 +100,10 @@ class ResNetEncoder(nn.Module):
                 x = self.block(planes=planes, stride=s, downsample=needs_ds,
                                name=f"layer{stage + 1}_{b}")(x, train=train)
                 in_planes = planes * self.block.expansion
+            stages[f"res{stage + 2}"] = x
             planes *= 2
+        if self.return_stages:
+            return stages
         # Global average pool (adaptive avgpool to 1x1 + flatten).
         return jnp.mean(x, axis=(1, 2))
 

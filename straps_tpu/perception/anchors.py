@@ -1,0 +1,44 @@
+"""Anchor generation for FPN levels (detectron2 DefaultAnchorGenerator
+semantics: per-level one size, 3 aspect ratios, offset 0)."""
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def cell_anchors(size: float, aspect_ratios: Sequence[float]) -> np.ndarray:
+    """(A, 4) xyxy anchors centred at (0, 0) with the given area & ratios."""
+    out = []
+    area = size * size
+    for ar in aspect_ratios:
+        w = np.sqrt(area / ar)
+        h = ar * w
+        out.append([-w / 2.0, -h / 2.0, w / 2.0, h / 2.0])
+    return np.asarray(out, np.float32)
+
+
+def grid_anchors(feat_h: int, feat_w: int, stride: int, size: float,
+                 aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+                 ) -> np.ndarray:
+    """(feat_h * feat_w * A, 4) anchors for one level, row-major over the
+    grid then anchor index (detectron2 ordering)."""
+    base = cell_anchors(size, aspect_ratios)           # (A, 4)
+    shift_x = np.arange(feat_w, dtype=np.float32) * stride
+    shift_y = np.arange(feat_h, dtype=np.float32) * stride
+    sx, sy = np.meshgrid(shift_x, shift_y)
+    shifts = np.stack([sx.ravel(), sy.ravel(), sx.ravel(), sy.ravel()],
+                      axis=1)                          # (H*W, 4)
+    anchors = shifts[:, None, :] + base[None, :, :]    # (H*W, A, 4)
+    return anchors.reshape(-1, 4)
+
+
+def fpn_anchors(image_size: int, strides: Sequence[int] = (4, 8, 16, 32, 64),
+                sizes: Sequence[float] = (32, 64, 128, 256, 512),
+                aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+                ) -> List[np.ndarray]:
+    """Per-level anchor arrays for a square image."""
+    out = []
+    for stride, size in zip(strides, sizes):
+        fh = fw = image_size // stride
+        out.append(grid_anchors(fh, fw, stride, size, aspect_ratios))
+    return out

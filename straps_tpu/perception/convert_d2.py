@@ -1,0 +1,138 @@
+"""detectron2 checkpoint conversion for the perception models.
+
+Maps detectron2 `.pkl` weight names (the reference's
+`pointrend_rcnn_R_50_fpn.pkl` / keypoint-RCNN zoo weights /
+`densepose_rcnn_R_101_fpn_s1x.pkl`, `predict/predict_3D.py:44-64`) onto the
+flax module tree of `straps_tpu.perception.rcnn`.  Conversions: conv OIHW ->
+HWIO, linear (out, in) -> (in, out); detectron2 FrozenBN (weight/bias/
+running_mean/running_var) -> flax BatchNorm params + batch_stats (inference
+mode).
+"""
+
+import pickle
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# detectron2 ResNet block name -> our flax scope pieces.
+_SHORTCUT = {"shortcut": ("downsample_conv", "downsample_bn")}
+
+
+def _set_in(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_weight(path, v, params, batch_stats, is_bn: bool, leaf: str):
+    if is_bn:
+        if leaf == "weight":
+            _set_in(params, path + ("scale",), v)
+        elif leaf == "bias":
+            _set_in(params, path + ("bias",), v)
+        elif leaf == "running_mean":
+            _set_in(batch_stats, path + ("mean",), v)
+        elif leaf == "running_var":
+            _set_in(batch_stats, path + ("var",), v)
+    else:
+        if leaf == "weight":
+            if v.ndim == 4:
+                _set_in(params, path + ("kernel",), v.transpose(2, 3, 1, 0))
+            elif v.ndim == 2:
+                _set_in(params, path + ("kernel",), v.T)
+            else:
+                _set_in(params, path + ("scale",), v)
+        elif leaf == "bias":
+            _set_in(params, path + ("bias",), v)
+
+
+def _map_backbone(rest, trunk_scope):
+    """'backbone.<module path, no leaf>' -> (flax path, is_bn) or None."""
+    if rest[0] == "bottom_up":
+        sub = rest[1:]
+        if sub[0] == "stem":
+            # stem.conv1 -> conv1; stem.conv1.norm -> bn1
+            if len(sub) > 2 and sub[2] == "norm":
+                return trunk_scope + ("backbone", "bottom_up", "bn1"), True
+            return trunk_scope + ("backbone", "bottom_up", "conv1"), False
+        if sub[0].startswith("res"):
+            stage = int(sub[0][3:]) - 1   # res2 -> layer1
+            block = sub[1]
+            inner = sub[2]
+            path = trunk_scope + ("backbone", "bottom_up",
+                                  f"layer{stage}_{block}")
+            if inner == "shortcut":
+                if len(sub) > 3 and sub[3] == "norm":
+                    return path + ("downsample_bn",), True
+                return path + ("downsample_conv",), False
+            # convN / convN.norm
+            if len(sub) > 3 and sub[3] == "norm":
+                return path + (f"bn{inner[-1]}",), True
+            return path + (inner,), False
+    if rest[0].startswith("fpn_lateral"):
+        i = rest[0][-1]
+        return trunk_scope + ("backbone", "fpn", f"lateral{i}"), False
+    if rest[0].startswith("fpn_output"):
+        i = rest[0][-1]
+        return trunk_scope + ("backbone", "fpn", f"output{i}"), False
+    return None
+
+
+def convert_d2_state(d2_state: Dict[str, np.ndarray],
+                     arch: str = "keypoint") -> dict:
+    """Convert a flat detectron2 state dict to flax variables for
+    KeypointRCNN / PointRendRCNN / DensePoseRCNN (`arch` selects the head
+    naming)."""
+    params: dict = {}
+    batch_stats: dict = {}
+    trunk = ("trunk",)
+
+    for key, value in d2_state.items():
+        v = np.asarray(value)
+        parts = key.split(".")
+        leaf = parts[-1]
+        body = parts[:-1]
+        path = None
+        is_bn = False
+        if body and body[0] == "backbone":
+            mapped = _map_backbone(tuple(body[1:]), trunk)
+            if mapped is not None:
+                path, is_bn = mapped
+        elif body[:2] == ["proposal_generator", "rpn_head"]:
+            name = {"conv": "conv", "objectness_logits": "objectness",
+                    "anchor_deltas": "anchor_deltas"}.get(body[2])
+            if name:
+                path = trunk + ("rpn_head", name)
+        elif body[:2] == ["roi_heads", "box_head"]:
+            path = trunk + ("box_head", body[2])          # fc1 / fc2
+        elif body[:2] == ["roi_heads", "box_predictor"]:
+            path = trunk + ("box_head", body[2])          # cls_score / bbox_pred
+        elif body[:2] == ["roi_heads", "keypoint_head"]:
+            path = ("keypoint_head", body[2])
+        elif body[:2] == ["roi_heads", "mask_coarse_head"]:
+            path = ("coarse_head", body[2])
+        elif body[:2] == ["roi_heads", "mask_point_head"]:
+            name = body[2]
+            if name.startswith("fc"):
+                path = ("point_head", name)
+            elif name == "predictor":
+                path = ("point_head", "predictor")
+        elif body[:2] == ["roi_heads", "densepose_head"]:
+            path = ("densepose_head", body[2])
+        elif body[:2] == ["roi_heads", "densepose_predictor"]:
+            path = ("densepose_predictor", body[2])
+        if path is not None:
+            _convert_weight(path, v, params, batch_stats, is_bn, leaf)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_d2_pkl(path: str, arch: str = "keypoint") -> dict:
+    """Load a detectron2 pkl checkpoint ({'model': {name: array}}) and
+    convert to flax variables."""
+    with open(path, "rb") as f:
+        ckpt = pickle.load(f, encoding="latin1")
+    state = ckpt.get("model", ckpt)
+    state = {k: np.asarray(v) for k, v in state.items()
+             if isinstance(v, np.ndarray) or hasattr(v, "shape")}
+    return convert_d2_state(state, arch=arch)

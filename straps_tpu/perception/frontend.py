@@ -1,0 +1,98 @@
+"""Predict-time perception wrappers.
+
+Equivalents of the reference's per-detector wrappers: largest-roughly-centred
+instance selection (`predict/predict_joints2D.py:5-30`,
+`predict/predict_silhouette_pointrend.py:7-36`), keypoint extraction and
+binary-silhouette extraction.  Selection runs in numpy on the (tiny) static
+detection outputs; the heavy model forwards are jitted.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_largest_centred_box_index(boxes: np.ndarray, valid: np.ndarray,
+                                  orig_w: int, orig_h: int) -> int:
+    """Largest box whose centre is within orig_w/6 of the image centre, else
+    simply the largest (`predict/predict_joints2D.py:5-30` semantics)."""
+    boxes = np.asarray(boxes)
+    valid = np.asarray(valid).astype(bool)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    areas = np.where(valid, areas, -1.0)
+    order = np.argsort(-areas)
+    for idx in order:
+        if not valid[idx]:
+            continue
+        cx = (boxes[idx, 0] + boxes[idx, 2]) / 2.0
+        cy = (boxes[idx, 1] + boxes[idx, 3]) / 2.0
+        if (abs(cx - orig_w / 2.0) < orig_w / 6.0 and
+                abs(cy - orig_h / 2.0) < orig_w / 6.0):
+            return int(idx)
+    return int(order[0])
+
+
+def get_largest_centred_mask_index(masks: np.ndarray, valid: np.ndarray,
+                                   orig_w: int, orig_h: int) -> int:
+    """Largest mask whose bbox centre is roughly centred (row tolerance
+    orig_w/4, column tolerance orig_w/6 —
+    `predict/predict_silhouette_pointrend.py:7-36` semantics)."""
+    masks = np.asarray(masks)
+    valid = np.asarray(valid).astype(bool)
+    areas = masks.sum(axis=(1, 2))
+    areas = np.where(valid, areas, -1.0)
+    order = np.argsort(-areas)
+    for idx in order:
+        if not valid[idx] or areas[idx] <= 0:
+            continue
+        rows, cols = np.nonzero(masks[idx])
+        cr = (rows.min() + rows.max()) / 2.0
+        cc = (cols.min() + cols.max()) / 2.0
+        if (abs(cr - orig_h / 2.0) < orig_w / 4.0 and
+                abs(cc - orig_w / 2.0) < orig_w / 6.0):
+            return int(idx)
+    return int(order[0])
+
+
+def make_apply_fn(model, variables):
+    """One jitted apply for repeated per-image calls (avoids re-tracing)."""
+    return jax.jit(lambda img: model.apply(variables, img))
+
+
+def predict_joints2d(image_rgb: np.ndarray, model, variables,
+                     apply_fn=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Image -> (17, 3) keypoints [x, y, score] of the selected person
+    (reference `predict_joints2D` contract: zeros if nobody found)."""
+    from straps_tpu.perception.rcnn import normalise_image
+    h, w = image_rgb.shape[:2]
+    inp = jnp.asarray(normalise_image(image_rgb))
+    if apply_fn is None:
+        apply_fn = make_apply_fn(model, variables)
+    out = apply_fn(inp)
+    valid = np.asarray(out["valid"])
+    if not valid.any():
+        return np.zeros((17, 3), np.float32), np.asarray(out["boxes"])
+    idx = get_largest_centred_box_index(out["boxes"], valid, w, h)
+    kp = np.asarray(out["keypoints"])[idx]
+    ks = np.asarray(out["keypoint_scores"])[idx]
+    return np.concatenate([kp, ks[:, None]], axis=1), np.asarray(out["boxes"])
+
+
+def predict_silhouette(image_rgb: np.ndarray, model, variables,
+                       apply_fn=None) -> np.ndarray:
+    """Image -> (H, W) binary silhouette of the selected person (PointRend or
+    DensePose model; both expose 'masks')."""
+    from straps_tpu.perception.rcnn import normalise_image
+    h, w = image_rgb.shape[:2]
+    inp = jnp.asarray(normalise_image(image_rgb))
+    if apply_fn is None:
+        apply_fn = make_apply_fn(model, variables)
+    out = apply_fn(inp)
+    valid = np.asarray(out["valid"])
+    masks = np.asarray(out["masks"])
+    if not valid.any():
+        return np.zeros((h, w), np.float32)
+    idx = get_largest_centred_mask_index(masks, valid, w, h)
+    return masks[idx].astype(np.float32)

@@ -1,0 +1,208 @@
+"""Core detection ops: IoU, static-shape NMS, box coding, ROIAlign.
+
+TPU-native replacements for detectron2's C++/CUDA ops (reference §2.4 #2:
+ROIAlign, NMS consumed via `predict/predict_3D.py:35-64`): everything is
+static-shape and jittable — NMS is a fixed-trip greedy loop over top-k
+candidates with masking instead of a dynamic-output CUDA kernel, and
+ROIAlign is a batched bilinear gather.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) xyxy -> (...) areas."""
+    return jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
+        jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)
+
+
+def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a)[:, None] + box_area(b)[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+              max_outputs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS with static output size.
+
+    Args:
+      boxes: (N, 4) xyxy; scores: (N,); invalid candidates must carry
+        score -inf.
+    Returns:
+      (max_outputs,) int32 indices into the input (padded with -1) and a
+      (max_outputs,) bool validity mask.  Selection order = score order.
+    """
+    N = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    iou = pairwise_iou(boxes_s, boxes_s)
+
+    def body(i, alive):
+        # alive: (N,) bool — candidates not yet suppressed.
+        # The i-th surviving candidate in score order suppresses everything
+        # overlapping it.  Find it: the i-th True in `alive` restricted to
+        # picks.  Simpler equivalent: iterate over all N in score order and
+        # suppress neighbours of every still-alive candidate.
+        is_alive = alive[i]
+        suppress = (iou[i] > iou_threshold) & (jnp.arange(N) > i)
+        return jnp.where(is_alive, alive & ~suppress, alive)
+
+    alive = scores_s > -jnp.inf
+    alive = jax.lax.fori_loop(0, N, body, alive)
+    # Keep the first `max_outputs` alive candidates (score order).
+    rank = jnp.cumsum(alive.astype(jnp.int32)) - 1          # rank among kept
+    keep_slot = jnp.where(alive & (rank < max_outputs), rank, max_outputs)
+    out_idx = jnp.full((max_outputs + 1,), -1, jnp.int32)
+    out_idx = out_idx.at[keep_slot].set(order.astype(jnp.int32))[:max_outputs]
+    return out_idx, out_idx >= 0
+
+
+def encode_boxes(boxes: jnp.ndarray, anchors: jnp.ndarray,
+                 weights=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """Faster-RCNN box coding: target boxes -> (dx, dy, dw, dh) deltas
+    relative to anchors (both xyxy)."""
+    wx, wy, ww, wh = weights
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = anchors[..., 0] + 0.5 * aw
+    ay = anchors[..., 1] + 0.5 * ah
+    bw = boxes[..., 2] - boxes[..., 0]
+    bh = boxes[..., 3] - boxes[..., 1]
+    bx = boxes[..., 0] + 0.5 * bw
+    by = boxes[..., 1] + 0.5 * bh
+    return jnp.stack([
+        wx * (bx - ax) / aw, wy * (by - ay) / ah,
+        ww * jnp.log(bw / aw), wh * jnp.log(bh / ah)], axis=-1)
+
+
+def decode_boxes(deltas: jnp.ndarray, anchors: jnp.ndarray,
+                 weights=(1.0, 1.0, 1.0, 1.0),
+                 clamp: float = 4.135) -> jnp.ndarray:
+    """Inverse of `encode_boxes` (dw/dh clamped like detectron2's
+    scale_clamp = log(1000/16))."""
+    wx, wy, ww, wh = weights
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = anchors[..., 0] + 0.5 * aw
+    ay = anchors[..., 1] + 0.5 * ah
+    dx = deltas[..., 0] / wx
+    dy = deltas[..., 1] / wy
+    dw = jnp.minimum(deltas[..., 2] / ww, clamp)
+    dh = jnp.minimum(deltas[..., 3] / wh, clamp)
+    cx = dx * aw + ax
+    cy = dy * ah + ay
+    w = jnp.exp(dw) * aw
+    h = jnp.exp(dh) * ah
+    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                      cx + 0.5 * w, cy + 0.5 * h], axis=-1)
+
+
+def clip_boxes(boxes: jnp.ndarray, img_h: int, img_w: int) -> jnp.ndarray:
+    x1 = jnp.clip(boxes[..., 0], 0, img_w)
+    y1 = jnp.clip(boxes[..., 1], 0, img_h)
+    x2 = jnp.clip(boxes[..., 2], 0, img_w)
+    y2 = jnp.clip(boxes[..., 3], 0, img_h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def bilinear_sample(features: jnp.ndarray, x: jnp.ndarray,
+                    y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling of an (H, W, C) feature map at continuous
+    (x, y) pixel coordinates (align-corners=False convention: coordinate x
+    samples the continuous field whose texel centres are at integers).
+
+    Args:
+      x, y: (...,) coordinates.
+    Returns:
+      (..., C) sampled features (zero outside).
+    """
+    H, W, _ = features.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        return features[yc, xc] * valid[..., None]
+
+    w00 = ((1 - fx) * (1 - fy))[..., None]
+    w01 = (fx * (1 - fy))[..., None]
+    w10 = ((1 - fx) * fy)[..., None]
+    w11 = (fx * fy)[..., None]
+    return (tap(x0i, y0i) * w00 + tap(x0i + 1, y0i) * w01
+            + tap(x0i, y0i + 1) * w10 + tap(x0i + 1, y0i + 1) * w11)
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
+              output_size: int, sampling_ratio: int = 2) -> jnp.ndarray:
+    """ROIAlign (aligned=True, detectron2 ROIAlignV2 semantics).
+
+    Args:
+      features: (H, W, C) one feature level.
+      boxes: (R, 4) xyxy in image coordinates.
+    Returns:
+      (R, output_size, output_size, C) pooled features.
+    """
+    boxes_f = boxes * spatial_scale - 0.5   # aligned=True half-pixel shift
+    x1, y1, x2, y2 = (boxes_f[:, i] for i in range(4))
+    rw = jnp.maximum(x2 - x1, 1e-6)
+    rh = jnp.maximum(y2 - y1, 1e-6)
+    bin_w = rw / output_size
+    bin_h = rh / output_size
+    s = sampling_ratio
+    # Sample grid: for output bin (i, j), s x s points at fractions
+    # (k + 0.5)/s within the bin.
+    grid = (jnp.arange(output_size * s) + 0.5) / s  # in bin units
+    xs = x1[:, None] + bin_w[:, None] * grid[None, :]   # (R, O*s)
+    ys = y1[:, None] + bin_h[:, None] * grid[None, :]
+
+    def pool_one(f_xs, f_ys):
+        xx = jnp.tile(f_xs[None, :], (output_size * s, 1))
+        yy = jnp.tile(f_ys[:, None], (1, output_size * s))
+        samples = bilinear_sample(features, xx, yy)  # (O*s, O*s, C)
+        C = samples.shape[-1]
+        samples = samples.reshape(output_size, s, output_size, s, C)
+        return samples.mean(axis=(1, 3))
+
+    return jax.vmap(pool_one)(xs, ys)
+
+
+def multilevel_roi_align(features_per_level, boxes: jnp.ndarray,
+                         strides, output_size: int,
+                         canonical_level: int = 4,
+                         canonical_size: float = 224.0,
+                         sampling_ratio: int = 2) -> jnp.ndarray:
+    """FPN level assignment + per-level ROIAlign, summed via level masks
+    (detectron2 `assign_boxes_to_levels`: level = floor(4 + log2(sqrt(area)
+    / 224))), static-shape (every box pooled at every level, masked)."""
+    area = box_area(boxes)
+    lvl = jnp.floor(canonical_level +
+                    jnp.log2(jnp.sqrt(jnp.maximum(area, 1e-9)) /
+                             canonical_size + 1e-9))
+    import math
+    min_l = int(math.log2(strides[0]))
+    max_l = min_l + len(features_per_level) - 1
+    lvl = jnp.clip(lvl, min_l, max_l).astype(jnp.int32)
+    out = None
+    for i, (feat, stride) in enumerate(zip(features_per_level, strides)):
+        pooled = roi_align(feat, boxes, 1.0 / stride, output_size,
+                           sampling_ratio)
+        mask = (lvl == (min_l + i)).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * mask if out is None else out + pooled * mask
+    return out

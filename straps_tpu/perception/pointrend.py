@@ -1,0 +1,147 @@
+"""PointRend instance-mask refinement (jittable, static point counts).
+
+Mirrors the vendored PointRend the reference uses for silhouettes
+(`PointRend/point_rend/` — coarse 7x7 mask head, StandardPointHead MLP with
+per-layer coarse re-concat, and the inference subdivision loop: 5 steps of
+2x upsample + re-predict the 28^2 most uncertain points,
+`roi_heads.py:193-218`, `config.py:26-36`).  The subdivision trip count and
+point counts are static, so the whole refinement unrolls inside jit; the
+dynamic top-k uncertain-point selection is `jax.lax.top_k`.
+"""
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from straps_tpu.perception.ops import bilinear_sample
+
+SUBDIVISION_STEPS = 5
+SUBDIVISION_POINTS = 28 * 28
+
+
+class CoarseMaskHead(nn.Module):
+    """14x14 ROI features -> 7x7 coarse mask logits
+    (`PointRend/point_rend/coarse_mask_head.py:11-90` architecture:
+    1x1 channel-reduce conv, 2x2 s2 spatial-reduce conv, 2 FCs, prediction)."""
+    conv_dim: int = 256
+    fc_dim: int = 1024
+    num_classes: int = 1
+    output_side: int = 7
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray) -> jnp.ndarray:
+        R = roi_feats.shape[0]
+        x = nn.relu(nn.Conv(self.conv_dim, (1, 1),
+                            name="reduce_channel_dim_conv")(roi_feats))
+        x = nn.relu(nn.Conv(self.conv_dim, (2, 2), strides=(2, 2),
+                            name="reduce_spatial_dim_conv")(x))
+        x = x.reshape(R, -1)
+        x = nn.relu(nn.Dense(self.fc_dim, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="fc2")(x))
+        x = nn.Dense(self.num_classes * self.output_side ** 2,
+                     name="prediction")(x)
+        return x.reshape(R, self.output_side, self.output_side,
+                         self.num_classes)
+
+
+class PointHead(nn.Module):
+    """MLP on per-point (fine features ++ coarse logits), coarse re-concat at
+    every layer (`PointRend/point_rend/point_head.py:96-146`)."""
+    fc_dim: int = 256
+    num_layers: int = 3
+    num_classes: int = 1
+
+    @nn.compact
+    def __call__(self, fine: jnp.ndarray, coarse: jnp.ndarray) -> jnp.ndarray:
+        """fine: (R, P, Cf); coarse: (R, P, K) -> (R, P, K) logits."""
+        x = jnp.concatenate([fine, coarse], axis=-1)
+        for i in range(self.num_layers):
+            x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}")(x))
+            x = jnp.concatenate([x, coarse], axis=-1)
+        return nn.Dense(self.num_classes, name="predictor")(x)
+
+
+def uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
+    """-|logit|: closest to the 0.5 decision boundary = most uncertain
+    (`PointRend/point_rend/roi_heads.py:26-48`)."""
+    return -jnp.abs(logits)
+
+
+def sample_mask_at_points(mask: jnp.ndarray, points01: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Bilinearly sample (S, S, K) mask logits at (P, 2) normalised [0, 1]
+    box coords (grid_sample align_corners=False convention)."""
+    S = mask.shape[0]
+    x = points01[:, 0] * S - 0.5
+    y = points01[:, 1] * S - 0.5
+    return bilinear_sample(mask, x, y)
+
+
+def sample_fine_features(p2: jnp.ndarray, box: jnp.ndarray,
+                         points01: jnp.ndarray, stride: float = 4.0
+                         ) -> jnp.ndarray:
+    """Sample backbone P2 features at box-normalised points
+    (`point_features.py:145-188` fine-grained feature sampling)."""
+    x_img = box[0] + points01[:, 0] * (box[2] - box[0])
+    y_img = box[1] + points01[:, 1] * (box[3] - box[1])
+    return bilinear_sample(p2, x_img / stride - 0.5, y_img / stride - 0.5)
+
+
+def subdivision_inference(point_head_apply, coarse_logits: jnp.ndarray,
+                          p2: jnp.ndarray, boxes: jnp.ndarray,
+                          steps: int = SUBDIVISION_STEPS,
+                          num_points: int = SUBDIVISION_POINTS) -> jnp.ndarray:
+    """Iterative subdivision mask refinement, static trip count.
+
+    Args:
+      point_head_apply: fn(fine (R,P,C), coarse (R,P,K)) -> (R,P,K).
+      coarse_logits: (R, 7, 7, K).
+      p2: (H, W, C) finest backbone level.
+      boxes: (R, 4) xyxy image coords.
+    Returns:
+      (R, 7*2**steps, 7*2**steps, K) refined mask logits.
+    """
+    R, S, _, K = coarse_logits.shape
+    mask = coarse_logits
+
+    for _ in range(steps):
+        S = S * 2
+        mask = jax.image.resize(mask, (R, S, S, K), method="bilinear")
+        unc = uncertainty(mask[..., 0]).reshape(R, S * S)
+        k = min(num_points, S * S)  # early steps have fewer grid points
+        _, idx = jax.lax.top_k(unc, k)                      # (R, P)
+        py = (idx // S).astype(jnp.float32)
+        px = (idx % S).astype(jnp.float32)
+        pts01 = jnp.stack([(px + 0.5) / S, (py + 0.5) / S], axis=-1)
+
+        def per_roi(mask_r, pts_r, box_r, coarse_r):
+            fine = sample_fine_features(p2, box_r, pts_r)
+            coarse_pt = sample_mask_at_points(coarse_r, pts_r)
+            return fine, coarse_pt
+
+        fine, coarse_pt = jax.vmap(per_roi)(mask, pts01, boxes, coarse_logits)
+        new_logits = point_head_apply(fine, coarse_pt)      # (R, P, K)
+        flat = mask.reshape(R, S * S, K)
+        flat = jax.vmap(lambda m, i, v: m.at[i].set(v))(flat, idx, new_logits)
+        mask = flat.reshape(R, S, S, K)
+    return mask
+
+
+def paste_mask(mask_logits: jnp.ndarray, box: jnp.ndarray, img_h: int,
+               img_w: int, threshold: float = 0.5) -> jnp.ndarray:
+    """Paste one (S, S) mask into the full image at `box` (bilinear), then
+    threshold — detectron2's paste_masks_in_image equivalent."""
+    S = mask_logits.shape[0]
+    ys = jnp.arange(img_h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(img_w, dtype=jnp.float32) + 0.5
+    u = (xs[None, :] - box[0]) / jnp.maximum(box[2] - box[0], 1e-6)
+    v = (ys[:, None] - box[1]) / jnp.maximum(box[3] - box[1], 1e-6)
+    px = u * S - 0.5
+    py = jnp.broadcast_to(v * S - 0.5, (img_h, img_w))
+    px = jnp.broadcast_to(px, (img_h, img_w))
+    vals = bilinear_sample(mask_logits[..., None], px, py)[..., 0]
+    inside = (u >= 0) & (u < 1) & ((v >= 0) & (v < 1))
+    probs = jax.nn.sigmoid(vals) * inside
+    return (probs > threshold).astype(jnp.float32)

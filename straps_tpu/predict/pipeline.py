@@ -97,7 +97,65 @@ def load_regressor_variables(cfg: PredictConfig, assets):
     return model, variables
 
 
-def predict_3d(cfg: PredictConfig) -> Dict[str, np.ndarray]:
+def detect_and_build_proxies(cfg: PredictConfig):
+    """Run the JAX detector front-end on a folder of images: pad to square,
+    resize to 512, Keypoint-RCNN joints + PointRend/DensePose silhouette,
+    largest-centred instance selection, proxy construction — the
+    `predict/predict_3D.py:97-126` flow on-device.
+
+    Detector weights come from `cfg` checkpoint fields when set (detectron2
+    pkl via `straps_tpu.perception.convert_d2`); random init otherwise
+    (structure/throughput path — accuracy requires the converted weights).
+    """
+    import cv2
+    import jax
+
+    from straps_tpu.perception import (
+        KeypointRCNN, PointRendRCNN, DensePoseRCNN, load_d2_pkl,
+        predict_joints2d, predict_silhouette, DEFAULT_IMAGE_SIZE,
+    )
+    from straps_tpu.perception.frontend import make_apply_fn
+    from straps_tpu.geometry.bbox import pad_to_square_params
+
+    kp_model = KeypointRCNN()
+    if cfg.silhouettes_from == "pointrend":
+        silh_model = PointRendRCNN()
+    else:
+        silh_model = DensePoseRCNN()
+    size = DEFAULT_IMAGE_SIZE
+    dummy = jnp.zeros((size, size, 3))
+    kp_ckpt = getattr(cfg, "keypoint_checkpoint", None)
+    silh_ckpt = getattr(cfg, "silhouette_checkpoint", None)
+    kp_vars = (load_d2_pkl(kp_ckpt) if kp_ckpt
+               else kp_model.init(jax.random.PRNGKey(0), dummy))
+    silh_vars = (load_d2_pkl(silh_ckpt) if silh_ckpt
+                 else silh_model.init(jax.random.PRNGKey(1), dummy))
+
+    kp_fn = make_apply_fn(kp_model, kp_vars)
+    silh_fn = make_apply_fn(silh_model, silh_vars)
+    image_paths = sorted(glob.glob(os.path.join(cfg.input_dir, "*.png")) +
+                         glob.glob(os.path.join(cfg.input_dir, "*.jpg")))
+    if not image_paths:
+        raise FileNotFoundError(f"no images in {cfg.input_dir}")
+    names, sils, joints = [], [], []
+    for path in image_paths:
+        img = cv2.imread(path)[:, :, ::-1]  # BGR -> RGB
+        h, w = img.shape[:2]
+        top, left = pad_to_square_params(h, w)
+        img = np.pad(img, ((top, top), (left, left), (0, 0)))
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        kp = predict_joints2d(img, kp_model, kp_vars, apply_fn=kp_fn)[0]
+        sil = predict_silhouette(img, silh_model, silh_vars, apply_fn=silh_fn)
+        names.append(os.path.splitext(os.path.basename(path))[0])
+        sils.append(sil)
+        joints.append(kp[:, :2])
+    proxies, _ = batch_silhouettes_joints_to_proxies(
+        jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(joints)),
+        cfg.img_wh)
+    return names, proxies
+
+
+def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarray]:
     """Run inference over cached proxies; save npy outputs + vis.
 
     Matches the output surface of `predict/predict_3D.py`: per-image verts,
@@ -105,13 +163,11 @@ def predict_3d(cfg: PredictConfig) -> Dict[str, np.ndarray]:
     """
     assets = load_assets(cfg.smpl_dir)
     model, variables = load_regressor_variables(cfg, assets)
-    if cfg.silhouettes_from != "cached":
-        raise NotImplementedError(
-            "detector front-ends (pointrend/densepose) are not built yet; "
-            "use silhouettes_from='cached' with precomputed proxies "
-            "(BASELINE config[0] path)")
-    proxy_dir = cfg.proxy_dir or cfg.input_dir
-    names, proxies = load_cached_proxies(proxy_dir, cfg.img_wh)
+    if cfg.silhouettes_from == "cached":
+        proxy_dir = cfg.proxy_dir or cfg.input_dir
+        names, proxies = load_cached_proxies(proxy_dir, cfg.img_wh)
+    else:
+        names, proxies = detect_and_build_proxies(cfg)
     predict = make_predict_fn(model, variables, assets, cfg.img_wh)
     out = predict(proxies)
     out_np = {k: np.asarray(v) for k, v in out.items()}
@@ -126,5 +182,23 @@ def predict_3d(cfg: PredictConfig) -> Dict[str, np.ndarray]:
                 out_np["pose_rotmats"][i])
         np.save(os.path.join(cfg.out_dir, f"{name}_cam_wp.npy"),
                 out_np["cam_wp"][i])
+
+    if save_vis:
+        # Same output dirs as the reference (`predict/predict_3D.py:157-183`).
+        from straps_tpu.render.vis import render_body_vis, scatter_vis, proxy_vis
+        for d in ("verts_vis", "rend_vis", "proxy_vis"):
+            os.makedirs(os.path.join(cfg.out_dir, d), exist_ok=True)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        for i, name in enumerate(names):
+            scatter_vis(out_np["verts"][i],
+                        os.path.join(cfg.out_dir, "verts_vis", f"{name}.png"))
+            rend = render_body_vis(out_np["verts"][i], out_np["cam_wp"][i],
+                                   assets, img_wh=cfg.img_wh)
+            plt.imsave(os.path.join(cfg.out_dir, "rend_vis", f"{name}.png"),
+                       rend)
+            proxy_vis(np.asarray(proxies[i]),
+                      os.path.join(cfg.out_dir, "proxy_vis", f"{name}.png"))
     out_np["names"] = names
     return out_np

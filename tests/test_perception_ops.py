@@ -1,0 +1,165 @@
+import numpy as np
+import jax.numpy as jnp
+
+from straps_tpu.perception.ops import (
+    pairwise_iou, nms_fixed, encode_boxes, decode_boxes, clip_boxes,
+    roi_align, multilevel_roi_align, bilinear_sample,
+)
+from straps_tpu.perception.anchors import grid_anchors, fpn_anchors
+
+RNG = np.random.RandomState(0)
+
+
+def naive_nms(boxes, scores, thresh):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i] or scores[i] == -np.inf:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / (a + b - inter + 1e-9) > thresh:
+                suppressed[j] = True
+    return keep
+
+
+class TestBoxes:
+    def test_iou_known(self):
+        a = jnp.asarray([[0.0, 0, 10, 10]])
+        b = jnp.asarray([[5.0, 5, 15, 15], [20.0, 20, 30, 30]])
+        iou = np.asarray(pairwise_iou(a, b))
+        np.testing.assert_allclose(iou, [[25 / 175, 0.0]], atol=1e-6)
+
+    def test_encode_decode_roundtrip(self):
+        anchors = jnp.asarray(RNG.uniform(0, 100, (32, 4)).astype(np.float32))
+        anchors = jnp.concatenate([anchors[:, :2],
+                                   anchors[:, :2] + 10 + anchors[:, 2:] * 0],
+                                  axis=1)
+        boxes = anchors + jnp.asarray(RNG.uniform(-3, 3, (32, 4)).astype(np.float32))
+        deltas = encode_boxes(boxes, anchors, weights=(10, 10, 5, 5))
+        back = decode_boxes(deltas, anchors, weights=(10, 10, 5, 5))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(boxes),
+                                   atol=1e-3)
+
+    def test_clip(self):
+        b = jnp.asarray([[-5.0, -5, 300, 300]])
+        np.testing.assert_array_equal(np.asarray(clip_boxes(b, 256, 256)),
+                                      [[0, 0, 256, 256]])
+
+
+class TestNms:
+    def test_matches_naive(self):
+        for trial in range(3):
+            rng = np.random.RandomState(trial)
+            centres = rng.uniform(10, 90, (40, 2))
+            wh = rng.uniform(5, 25, (40, 2))
+            boxes = np.concatenate([centres - wh / 2, centres + wh / 2],
+                                   axis=1).astype(np.float32)
+            scores = rng.rand(40).astype(np.float32)
+            idx, valid = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                                   0.5, 16)
+            got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid)) if v]
+            expected = naive_nms(boxes, scores, 0.5)[:16]
+            assert got == expected, (trial, got, expected)
+
+    def test_invalid_candidates_skipped(self):
+        boxes = jnp.asarray([[0.0, 0, 10, 10], [100.0, 100, 110, 110]])
+        scores = jnp.asarray([0.9, -np.inf])
+        idx, valid = nms_fixed(boxes, scores, 0.5, 4)
+        assert np.asarray(valid).sum() == 1
+        assert int(idx[0]) == 0
+
+
+class TestRoiAlign:
+    def _naive(self, feat, box, scale, out_size, s):
+        H, W, C = feat.shape
+        x1, y1, x2, y2 = box * scale - 0.5
+        bw = max((x2 - x1), 1e-6) / out_size
+        bh = max((y2 - y1), 1e-6) / out_size
+        out = np.zeros((out_size, out_size, C), np.float32)
+
+        def sample(x, y):
+            x0, y0 = int(np.floor(x)), int(np.floor(y))
+            fx, fy = x - x0, y - y0
+            val = np.zeros(C, np.float32)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xi, yi = x0 + dx, y0 + dy
+                    w = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                    if 0 <= xi < W and 0 <= yi < H:
+                        val += w * feat[yi, xi]
+            return val
+
+        for i in range(out_size):
+            for j in range(out_size):
+                acc = np.zeros(C, np.float32)
+                for ky in range(s):
+                    for kx in range(s):
+                        x = x1 + (j * s + kx + 0.5) / s * bw
+                        y = y1 + (i * s + ky + 0.5) / s * bh
+                        acc += sample(x, y)
+                out[i, j] = acc / (s * s)
+        return out
+
+    def test_matches_naive(self):
+        feat = RNG.randn(16, 16, 3).astype(np.float32)
+        boxes = np.asarray([[8.0, 4.0, 40.0, 28.0],
+                            [0.0, 0.0, 64.0, 64.0]], np.float32)
+        got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes),
+                                   0.25, 4, sampling_ratio=2))
+        for r in range(2):
+            expected = self._naive(feat, boxes[r], 0.25, 4, 2)
+            np.testing.assert_allclose(got[r], expected, atol=1e-4)
+
+    def test_constant_field_exact(self):
+        feat = np.full((8, 8, 1), 3.0, np.float32)
+        out = np.asarray(roi_align(jnp.asarray(feat),
+                                   jnp.asarray([[4.0, 4.0, 24.0, 24.0]]),
+                                   0.25, 7))
+        np.testing.assert_allclose(out, 3.0, atol=1e-5)
+
+    def test_multilevel_assignment(self):
+        feats = [jnp.asarray(np.full((256 // s, 256 // s, 1),
+                                     float(i), np.float32))
+                 for i, s in enumerate((4, 8, 16, 32))]
+        # canonical_size=16: 20px box -> level 4 (value 2), 60px box ->
+        # level 5 (value 3); interior boxes so every bilinear sample lands
+        # fully on its constant map -> exact values.
+        boxes = jnp.asarray([[100.0, 100, 120, 120], [100.0, 100, 160, 160]])
+        out = np.asarray(multilevel_roi_align(feats, boxes, (4, 8, 16, 32), 2,
+                                              canonical_size=16.0))
+        np.testing.assert_allclose(out[0], 2.0, atol=1e-5)
+        np.testing.assert_allclose(out[1], 3.0, atol=1e-5)
+
+
+class TestAnchors:
+    def test_grid_anchor_geometry(self):
+        a = grid_anchors(2, 2, 16, 32.0, (1.0,))
+        assert a.shape == (4, 4)
+        # first anchor centred at (0, 0), 32x32
+        np.testing.assert_allclose(a[0], [-16, -16, 16, 16])
+        # last anchor centred at (16, 16)
+        np.testing.assert_allclose(a[3], [0, 0, 32, 32])
+
+    def test_aspect_ratios_preserve_area(self):
+        a = grid_anchors(1, 1, 4, 64.0, (0.5, 1.0, 2.0))
+        areas = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        np.testing.assert_allclose(areas, 64.0 * 64.0, rtol=1e-5)
+        hw = (a[:, 3] - a[:, 1]) / (a[:, 2] - a[:, 0])
+        np.testing.assert_allclose(hw, [0.5, 1.0, 2.0], rtol=1e-5)
+
+    def test_fpn_counts(self):
+        per_level = fpn_anchors(256)
+        assert len(per_level) == 5
+        assert per_level[0].shape == (64 * 64 * 3, 4)
+        assert per_level[4].shape == (4 * 4 * 3, 4)
