@@ -129,6 +129,52 @@ def subdivision_inference(point_head_apply, coarse_logits: jnp.ndarray,
     return mask
 
 
+def importance_sample_points(key, coarse_logits: jnp.ndarray,
+                             num_points: int = 14 * 14,
+                             oversample_ratio: float = 3.0,
+                             importance_sample_ratio: float = 0.75
+                             ) -> jnp.ndarray:
+    """Train-time point selection: oversample random points, keep the most
+    uncertain `importance_sample_ratio` fraction, fill the rest uniformly
+    (`PointRend/point_rend/point_features.py:63-115` semantics with the
+    default config 14^2 points, oversample 3, importance 0.75).
+
+    Args:
+      coarse_logits: (R, S, S, K) coarse mask predictions.
+    Returns:
+      (R, num_points, 2) point coords in [0, 1] box space.
+    """
+    R, S = coarse_logits.shape[0], coarse_logits.shape[1]
+    n_sampled = int(num_points * oversample_ratio)
+    k1, k2 = jax.random.split(key)
+    pts = jax.random.uniform(k1, (R, n_sampled, 2))
+    unc = jax.vmap(lambda c, p: uncertainty(
+        sample_mask_at_points(c, p)[..., 0]))(coarse_logits, pts)
+    n_unc = int(importance_sample_ratio * num_points)
+    _, idx = jax.lax.top_k(unc, n_unc)                       # (R, n_unc)
+    chosen = jnp.take_along_axis(pts, idx[..., None], axis=1)
+    n_rand = num_points - n_unc
+    rand = jax.random.uniform(k2, (R, n_rand, 2))
+    return jnp.concatenate([chosen, rand], axis=1)
+
+
+def mask_point_loss(point_logits: jnp.ndarray, gt_masks01: jnp.ndarray,
+                    points01: jnp.ndarray) -> jnp.ndarray:
+    """BCE between point predictions and GT mask values sampled at the same
+    points (`PointRend/point_rend/point_head.py:22-93`).
+
+    Args:
+      point_logits: (R, P, 1); gt_masks01: (R, S, S) binary; points01:
+        (R, P, 2) in [0, 1] box space.
+    """
+    gt = jax.vmap(lambda m, p: sample_mask_at_points(m[..., None], p)[..., 0]
+                  )(gt_masks01, points01)
+    logits = point_logits[..., 0]
+    loss = jnp.maximum(logits, 0) - logits * gt + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(loss)
+
+
 def paste_mask(mask_logits: jnp.ndarray, box: jnp.ndarray, img_h: int,
                img_w: int, threshold: float = 0.5) -> jnp.ndarray:
     """Paste one (S, S) mask into the full image at `box` (bilinear), then

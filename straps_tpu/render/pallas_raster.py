@@ -52,7 +52,11 @@ def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
             e1xx = e1x * xs
             e2xx = e2x * xs
             zxx = zx * xs
-            for r in range(rows):                              # static unroll
+
+            # fori_loop (not a static unroll) so the (C, W) row temporaries
+            # are reused: an unroll keeps rows x ~9 tiles live and blows the
+            # 16MB VMEM budget at chunk=256, W=256.
+            def row_body(r, _):
                 y = (y0 + r).astype(jnp.float32) + 0.5
                 cov = ((e0xx + (e0y * y + e0c) >= 0)
                        & (e1xx + (e1y * y + e1c) >= 0)
@@ -61,11 +65,15 @@ def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
                 zed = jnp.where(cov, zval, big)
                 zmin = jnp.min(zed, axis=0, keepdims=True)     # (1, W)
                 amin = jnp.argmin(zed, axis=0).astype(jnp.int32)[None, :]
-                better = zmin < z_ref[0, r:r + 1, :]
-                z_ref[0, r:r + 1, :] = jnp.where(better, zmin,
-                                                 z_ref[0, r:r + 1, :])
-                fid_ref[0, r:r + 1, :] = jnp.where(
-                    better, amin + c * chunk, fid_ref[0, r:r + 1, :])
+                old_z = z_ref[0, pl.ds(r, 1), :]
+                old_f = fid_ref[0, pl.ds(r, 1), :]
+                better = zmin < old_z
+                z_ref[0, pl.ds(r, 1), :] = jnp.where(better, zmin, old_z)
+                fid_ref[0, pl.ds(r, 1), :] = jnp.where(
+                    better, amin + c * chunk, old_f)
+                return 0
+
+            jax.lax.fori_loop(0, rows, row_body, 0)
 
         return 0
 

@@ -116,6 +116,46 @@ def prepare_face_planes(screen_xy: jnp.ndarray, depth: jnp.ndarray,
     return FacePlanes(planes=planes)
 
 
+def sort_faces_by_ymin(planes: jnp.ndarray, screen_xy: jnp.ndarray,
+                       faces: jnp.ndarray):
+    """Sort each batch element's faces by screen ymin.
+
+    After sorting, consecutive face chunks span narrow y ranges, so the
+    rasteriser's per-chunk row-bound culling skips almost all chunks per
+    pixel strip (the win scales with mesh size / image coverage).
+
+    Returns (sorted planes (B, F, 4, 3), order (B, F) int32 mapping
+    sorted index -> original face id).
+    """
+    vy = screen_xy[:, faces, 1]                       # (B, F, 3)
+    fymin = jnp.min(vy, axis=-1)
+    order = jnp.argsort(fymin, axis=1).astype(jnp.int32)
+    sorted_planes = jnp.take_along_axis(
+        planes, order[:, :, None, None], axis=1)
+    return sorted_planes, order
+
+
+def face_chunk_row_bounds_from_planes(screen_xy: jnp.ndarray,
+                                      faces: jnp.ndarray,
+                                      order: jnp.ndarray, chunk: int,
+                                      img_h: int) -> jnp.ndarray:
+    """Per-chunk [ymin, ymax) bounds for *sorted* face order."""
+    vy = screen_xy[:, faces, 1]                       # (B, F, 3)
+    fymin = jnp.take_along_axis(jnp.min(vy, axis=-1), order, axis=1)
+    fymax = jnp.take_along_axis(jnp.max(vy, axis=-1), order, axis=1)
+    B, F = fymin.shape
+    pad = (-F) % chunk
+    if pad:
+        fymin = jnp.pad(fymin, ((0, 0), (0, pad)), constant_values=np.inf)
+        fymax = jnp.pad(fymax, ((0, 0), (0, pad)), constant_values=-np.inf)
+    nch = (F + pad) // chunk
+    cmin = jnp.min(fymin.reshape(B, nch, chunk), axis=-1)
+    cmax = jnp.max(fymax.reshape(B, nch, chunk), axis=-1)
+    lo = jnp.clip(jnp.floor(cmin), 0, img_h).astype(jnp.int32)
+    hi = jnp.clip(jnp.ceil(cmax) + 1, 0, img_h).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1)
+
+
 def face_chunk_row_bounds(screen_xy: jnp.ndarray, faces: jnp.ndarray,
                           chunk: int, img_h: int) -> jnp.ndarray:
     """Per-face-chunk [ymin, ymax] row bounds for culling.

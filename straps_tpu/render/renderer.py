@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from straps_tpu.render.raster import (
     project_to_screen, prepare_face_planes, face_chunk_row_bounds,
+    face_chunk_row_bounds_from_planes, sort_faces_by_ymin,
     rasterize_xla, face_ids_to_parts,
 )
 from straps_tpu.render.pallas_raster import rasterize_pallas, FACE_CHUNK
@@ -40,15 +41,62 @@ def render_part_seg(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
     screen, z = project_to_screen(verts, cam_t, cam_K, cam_R)
     planes = prepare_face_planes(screen, z, faces).planes
     if backend == "pallas":
-        bounds = face_chunk_row_bounds(screen, faces, FACE_CHUNK, img_wh)
-        fid, depth = rasterize_pallas(planes, bounds, img_wh, img_wh,
-                                      interpret=interpret)
+        # Sort faces by ymin so chunk culling is tight (each chunk spans a
+        # narrow row range).
+        planes_s, order = sort_faces_by_ymin(planes, screen, faces)
+        bounds = face_chunk_row_bounds_from_planes(screen, faces, order,
+                                                   FACE_CHUNK, img_wh)
+        fid_sorted, depth = rasterize_pallas(planes_s, bounds, img_wh, img_wh,
+                                             interpret=interpret)
+        # Sorted face index -> part id: gather per-batch sorted parts.
+        parts_sorted = face_parts[order]                       # (B, F)
+        fg = fid_sorted >= 0
+        safe = jnp.maximum(fid_sorted, 0)
+        parts = jnp.where(
+            fg, jnp.take_along_axis(
+                parts_sorted, safe.reshape(safe.shape[0], -1),
+                axis=1).reshape(safe.shape), 0).astype(jnp.int32)
+        return parts, depth
     elif backend == "xla":
         fid, depth = rasterize_xla(planes, img_wh, img_wh)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     parts = face_ids_to_parts(fid, face_parts)
     return parts, depth
+
+
+def render_rgb(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
+               faces: jnp.ndarray, face_colors: jnp.ndarray, img_wh: int,
+               cam_R: Optional[jnp.ndarray] = None, backend: str = "pallas",
+               interpret: bool = False):
+    """Flat-shaded RGB render + depth — the NMRRenderer RGB mode surface
+    (`renderers/nmr_renderer.py:88-91`: ambient-lit per-face texture).
+
+    Args:
+      face_colors: (F, 3) per-face RGB in [0, 1].
+    Returns:
+      rgb (B, H, W, 3) with background black, depth (B, H, W).
+    """
+    screen, z = project_to_screen(verts, cam_t, cam_K, cam_R)
+    planes = prepare_face_planes(screen, z, faces).planes
+    if backend == "pallas":
+        planes_s, order = sort_faces_by_ymin(planes, screen, faces)
+        bounds = face_chunk_row_bounds_from_planes(screen, faces, order,
+                                                   FACE_CHUNK, img_wh)
+        fid_s, depth = rasterize_pallas(planes_s, bounds, img_wh, img_wh,
+                                        interpret=interpret)
+        fg = fid_s >= 0
+        safe = jnp.maximum(fid_s, 0)
+        B = fid_s.shape[0]
+        colors_sorted = face_colors[order]                     # (B, F, 3)
+        rgb = jnp.take_along_axis(
+            colors_sorted, safe.reshape(B, -1, 1), axis=1
+        ).reshape(B, img_wh, img_wh, 3)
+    else:
+        fid, depth = rasterize_xla(planes, img_wh, img_wh)
+        fg = fid >= 0
+        rgb = face_colors[jnp.maximum(fid, 0)]
+    return rgb * fg[..., None], depth
 
 
 def render_silhouette(verts, cam_t, cam_K, faces, img_wh,

@@ -1,0 +1,118 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from straps_tpu.perception.pointrend import (
+    importance_sample_points, mask_point_loss, uncertainty,
+    sample_mask_at_points, paste_mask,
+)
+from straps_tpu.perception.densepose import (
+    ASPP, DensePoseDeepLabHead, densepose_losses, encode_iuv_png,
+    decode_iuv_png,
+)
+from straps_tpu.render import render_rgb
+from straps_tpu.smpl import load_synthetic_assets
+from straps_tpu.geometry import get_intrinsics_matrix
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestPointRendTraining:
+    def test_importance_sampling_counts_and_bounds(self):
+        coarse = jnp.asarray(np.random.RandomState(0)
+                             .randn(3, 7, 7, 1).astype(np.float32))
+        pts = importance_sample_points(KEY, coarse, num_points=196)
+        assert pts.shape == (3, 196, 2)
+        p = np.asarray(pts)
+        assert p.min() >= 0.0 and p.max() <= 1.0
+
+    def test_importance_points_more_uncertain_than_random(self):
+        coarse = jnp.asarray(np.random.RandomState(1)
+                             .randn(2, 7, 7, 1).astype(np.float32) * 5)
+        pts = importance_sample_points(KEY, coarse, num_points=100)
+        unc_chosen = jax.vmap(lambda c, p: uncertainty(
+            sample_mask_at_points(c, p)[..., 0]))(coarse, pts[:, :75])
+        rand = jax.random.uniform(jax.random.PRNGKey(9), (2, 75, 2))
+        unc_rand = jax.vmap(lambda c, p: uncertainty(
+            sample_mask_at_points(c, p)[..., 0]))(coarse, rand)
+        assert float(unc_chosen.mean()) > float(unc_rand.mean())
+
+    def test_point_loss_perfect_prediction_small(self):
+        # Half-plane mask: bilinear samples are exactly 0/1 away from the
+        # single boundary column, so a perfect prediction drives BCE ~ 0.
+        m = np.zeros((2, 28, 28), np.float32)
+        m[:, :, 14:] = 1.0
+        gt = jnp.asarray(m)
+        pts = jax.random.uniform(KEY, (2, 50, 2))
+        gt_at = jax.vmap(lambda m, p: sample_mask_at_points(
+            m[..., None], p)[..., 0])(gt, pts)
+        perfect = (gt_at * 2 - 1)[..., None] * 20.0  # confident correct logits
+        loss_good = float(mask_point_loss(perfect, gt, pts))
+        loss_bad = float(mask_point_loss(-perfect, gt, pts))
+        assert loss_good < 0.5 < loss_bad
+
+    def test_paste_mask_roundtrip(self):
+        logits = jnp.full((28, 28), 10.0)
+        box = jnp.asarray([16.0, 16.0, 48.0, 48.0])
+        out = np.asarray(paste_mask(logits, box, 64, 64))
+        assert out[32, 32] == 1.0
+        assert out[8, 8] == 0.0
+        # area roughly box area
+        assert abs(out.sum() - 32 * 32) < 200
+
+
+class TestDensePoseExtras:
+    def test_deeplab_head_shapes(self):
+        head = DensePoseDeepLabHead(conv_dim=64, num_convs=1)
+        x = jnp.zeros((2, 14, 14, 32))
+        variables = head.init(KEY, x)
+        out = head.apply(variables, x)
+        assert out.shape == (2, 14, 14, 64)
+
+    def test_losses_behave(self):
+        rng = np.random.RandomState(0)
+        R, S, P = 2, 16, 20
+        gt_segm = jnp.asarray(rng.randint(0, 15, (R, S, S)))
+        gt_points = jnp.asarray(rng.rand(R, P, 2).astype(np.float32))
+        gt_part = jnp.asarray(rng.randint(0, 25, (R, P)))
+        gt_u = jnp.asarray(rng.rand(R, P).astype(np.float32))
+        gt_v = jnp.asarray(rng.rand(R, P).astype(np.float32))
+        valid = jnp.ones((R, P), bool)
+        s = jax.nn.one_hot(gt_segm, 15) * 20.0  # perfect seg
+        i = jnp.asarray(rng.randn(R, S, S, 25).astype(np.float32))
+        u = jnp.asarray(rng.rand(R, S, S, 25).astype(np.float32))
+        v = jnp.asarray(rng.rand(R, S, S, 25).astype(np.float32))
+        out = densepose_losses(s, i, u, v, gt_segm, gt_points, gt_part,
+                               gt_u, gt_v, valid)
+        assert float(out["segm"]) < 1e-3      # perfect seg -> ~0 CE
+        for k in ("total", "part", "u", "v"):
+            assert np.isfinite(float(out[k]))
+        # masking: zero valid points -> point losses zero
+        out0 = densepose_losses(s, i, u, v, gt_segm, gt_points, gt_part,
+                                gt_u, gt_v, jnp.zeros((R, P), bool))
+        assert float(out0["part"]) == 0.0
+        assert float(out0["u"]) == 0.0
+
+    def test_iuv_codec_roundtrip(self):
+        iuv = np.random.RandomState(0).randint(0, 255, (24, 32, 3), np.uint8)
+        s = encode_iuv_png(iuv)
+        assert isinstance(s, str)
+        back = decode_iuv_png(s)
+        np.testing.assert_array_equal(back, iuv)
+
+
+class TestRenderRgb:
+    def test_rgb_render(self):
+        assets = load_synthetic_assets()
+        colors = jnp.asarray(
+            np.random.RandomState(0).rand(assets.num_faces, 3)
+            .astype(np.float32))
+        K = jnp.asarray(get_intrinsics_matrix(64, 64, 1250.0))
+        cam_t = jnp.asarray(np.asarray([[0.0, 0.2, 42.0]], np.float32))
+        rgb, depth = render_rgb(assets.v_template[None], cam_t, K,
+                                assets.faces, colors, 64, backend="xla")
+        assert rgb.shape == (1, 64, 64, 3)
+        fg = np.asarray(depth[0]) < 1e30
+        assert 0.02 < fg.mean() < 0.9
+        assert np.asarray(rgb)[0][~fg].max() == 0.0
+        assert np.asarray(rgb)[0][fg].max() > 0.1

@@ -142,6 +142,22 @@ class TestPallasRaster:
         assert mismatch < 0.002, f"part map mismatch {mismatch:.5f}"
 
 
+class TestSortedPallasRender:
+    def test_render_part_seg_pallas_matches_xla(self):
+        """Full render_part_seg pallas path (with face sorting) vs xla."""
+        assets = load_synthetic_assets()
+        verts = assets.v_template[None]
+        cam_t = jnp.asarray(np.array([[0.0, 0.2, 42.0]], np.float32))
+        K = jnp.asarray(get_intrinsics_matrix(64, 64, 1250.0))
+        parts_p, _ = render_part_seg(verts, cam_t, K, assets.faces,
+                                     assets.face_parts, 64, backend="pallas",
+                                     interpret=True)
+        parts_x, _ = render_part_seg(verts, cam_t, K, assets.faces,
+                                     assets.face_parts, 64, backend="xla")
+        mismatch = (np.asarray(parts_p) != np.asarray(parts_x)).mean()
+        assert mismatch < 0.002, mismatch
+
+
 class TestPartsDecode:
     def test_face_ids_to_parts(self):
         fid = jnp.asarray(np.array([[-1, 0], [1, 2]], np.int32))
