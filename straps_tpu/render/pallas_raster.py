@@ -3,13 +3,20 @@
 One kernel instance owns a (ROWS x W) pixel strip of one batch element and
 loops over face chunks held in VMEM, evaluating the 4 affine plane functions
 (3 edges + depth, prepared by `straps_tpu.render.raster.prepare_face_planes`)
-as (chunk x W) VPU broadcast tiles and keeping a running min-depth / face-id.
-Face chunks whose projected y-range misses the strip are skipped via
-`pl.when` (per-chunk bounds precomputed on device).
+as (chunk x ROWS*W) VPU broadcast tiles with a running min-depth / face-id
+carried through the chunk loop.  Face chunks whose projected y-range misses
+the strip are skipped via `lax.cond` (per-chunk bounds precomputed on
+device; pair with `sort_faces_by_ymin` so the bounds are tight).
 
 Compared to the XLA scan path this keeps the (faces x pixels) intermediates
 entirely in VMEM/registers — zero HBM traffic beyond planes in + id/depth
 maps out — which is the whole game on a bandwidth-bound op.
+
+Tiling notes (v5e): per-row evaluation with a static 8-row unroll and
+static-index VMEM writes is the fast configuration; chunk=128 keeps the
+unrolled (chunk, W) temporaries within the 16MB scoped-VMEM budget
+(chunk=256 OOMs at ~18MB; dynamic-row writes or a lane-flattened
+cond/carry loop are 2-10x slower).
 """
 
 import functools
@@ -21,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tunables: face chunk size (sublane dim) and pixel rows per kernel instance.
-FACE_CHUNK = 256
+FACE_CHUNK = 128
 ROWS_PER_BLOCK = 8
 
 
@@ -31,7 +38,8 @@ def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
     y0 = rb * rows
 
     # Pixel-centre x coordinates, broadcast row vector (1, W).
-    xs = jax.lax.broadcasted_iota(jnp.int32, (1, img_w), 1).astype(jnp.float32) + 0.5
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, img_w), 1).astype(
+        jnp.float32) + 0.5
 
     big = jnp.float32(3.4e38)
     fid_ref[0] = jnp.full((rows, img_w), -1, jnp.int32)
@@ -52,11 +60,7 @@ def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
             e1xx = e1x * xs
             e2xx = e2x * xs
             zxx = zx * xs
-
-            # fori_loop (not a static unroll) so the (C, W) row temporaries
-            # are reused: an unroll keeps rows x ~9 tiles live and blows the
-            # 16MB VMEM budget at chunk=256, W=256.
-            def row_body(r, _):
+            for r in range(rows):                              # static unroll
                 y = (y0 + r).astype(jnp.float32) + 0.5
                 cov = ((e0xx + (e0y * y + e0c) >= 0)
                        & (e1xx + (e1y * y + e1c) >= 0)
@@ -65,15 +69,11 @@ def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
                 zed = jnp.where(cov, zval, big)
                 zmin = jnp.min(zed, axis=0, keepdims=True)     # (1, W)
                 amin = jnp.argmin(zed, axis=0).astype(jnp.int32)[None, :]
-                old_z = z_ref[0, pl.ds(r, 1), :]
-                old_f = fid_ref[0, pl.ds(r, 1), :]
-                better = zmin < old_z
-                z_ref[0, pl.ds(r, 1), :] = jnp.where(better, zmin, old_z)
-                fid_ref[0, pl.ds(r, 1), :] = jnp.where(
-                    better, amin + c * chunk, old_f)
-                return 0
-
-            jax.lax.fori_loop(0, rows, row_body, 0)
+                better = zmin < z_ref[0, r:r + 1, :]
+                z_ref[0, r:r + 1, :] = jnp.where(better, zmin,
+                                                 z_ref[0, r:r + 1, :])
+                fid_ref[0, r:r + 1, :] = jnp.where(
+                    better, amin + c * chunk, fid_ref[0, r:r + 1, :])
 
         return 0
 
@@ -89,7 +89,7 @@ def rasterize_pallas(planes: jnp.ndarray, bounds: jnp.ndarray,
     Args:
       planes: (B, F, 4, 3) from `prepare_face_planes`; F padded internally.
       bounds: (B, num_chunks, 2) int32 row bounds from
-        `face_chunk_row_bounds(..., chunk=FACE_CHUNK)`.
+        `face_chunk_row_bounds*` with chunk=FACE_CHUNK.
       img_h, img_w: output size (img_w should be a multiple of 128).
       interpret: run in Pallas interpreter mode (for CPU tests).
     Returns:

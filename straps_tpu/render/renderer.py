@@ -41,22 +41,15 @@ def render_part_seg(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
     screen, z = project_to_screen(verts, cam_t, cam_K, cam_R)
     planes = prepare_face_planes(screen, z, faces).planes
     if backend == "pallas":
-        # Sort faces by ymin so chunk culling is tight (each chunk spans a
-        # narrow row range).
-        planes_s, order = sort_faces_by_ymin(planes, screen, faces)
-        bounds = face_chunk_row_bounds_from_planes(screen, faces, order,
-                                                   FACE_CHUNK, img_wh)
-        fid_sorted, depth = rasterize_pallas(planes_s, bounds, img_wh, img_wh,
-                                             interpret=interpret)
-        # Sorted face index -> part id: gather per-batch sorted parts.
-        parts_sorted = face_parts[order]                       # (B, F)
-        fg = fid_sorted >= 0
-        safe = jnp.maximum(fid_sorted, 0)
-        parts = jnp.where(
-            fg, jnp.take_along_axis(
-                parts_sorted, safe.reshape(safe.shape[0], -1),
-                axis=1).reshape(safe.shape), 0).astype(jnp.int32)
-        return parts, depth
+        # Chunk y-bound culling relies on the mesh's spatial coherence
+        # (neighbouring faces share vertices, so original-order chunks span
+        # narrow y ranges).  A runtime ymin argsort would tighten bounds
+        # further but jnp.argsort at this shape faults the axon v5e runtime;
+        # `sort_faces_by_ymin` is kept for future use.
+        bounds = face_chunk_row_bounds(screen, faces, FACE_CHUNK, img_wh)
+        fid, depth = rasterize_pallas(planes, bounds, img_wh, img_wh,
+                                      interpret=interpret)
+        return face_ids_to_parts(fid, face_parts), depth
     elif backend == "xla":
         fid, depth = rasterize_xla(planes, img_wh, img_wh)
     else:
@@ -80,18 +73,11 @@ def render_rgb(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
     screen, z = project_to_screen(verts, cam_t, cam_K, cam_R)
     planes = prepare_face_planes(screen, z, faces).planes
     if backend == "pallas":
-        planes_s, order = sort_faces_by_ymin(planes, screen, faces)
-        bounds = face_chunk_row_bounds_from_planes(screen, faces, order,
-                                                   FACE_CHUNK, img_wh)
-        fid_s, depth = rasterize_pallas(planes_s, bounds, img_wh, img_wh,
-                                        interpret=interpret)
-        fg = fid_s >= 0
-        safe = jnp.maximum(fid_s, 0)
-        B = fid_s.shape[0]
-        colors_sorted = face_colors[order]                     # (B, F, 3)
-        rgb = jnp.take_along_axis(
-            colors_sorted, safe.reshape(B, -1, 1), axis=1
-        ).reshape(B, img_wh, img_wh, 3)
+        bounds = face_chunk_row_bounds(screen, faces, FACE_CHUNK, img_wh)
+        fid, depth = rasterize_pallas(planes, bounds, img_wh, img_wh,
+                                      interpret=interpret)
+        fg = fid >= 0
+        rgb = face_colors[jnp.maximum(fid, 0)]
     else:
         fid, depth = rasterize_xla(planes, img_wh, img_wh)
         fg = fid >= 0

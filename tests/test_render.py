@@ -142,6 +142,25 @@ class TestPallasRaster:
         assert mismatch < 0.002, f"part map mismatch {mismatch:.5f}"
 
 
+class TestFaceSorting:
+    def test_sort_faces_by_ymin(self):
+        from straps_tpu.render.raster import sort_faces_by_ymin
+        screen, z, faces = make_triangle_scene()
+        sj = jnp.asarray(screen[None])
+        planes = prepare_face_planes(sj, jnp.asarray(z[None]),
+                                     jnp.asarray(faces)).planes
+        # Make face 1 start above face 0 so sorting must swap them.
+        screen2 = screen.copy()
+        screen2[3:, 1] -= 18.0
+        sj2 = jnp.asarray(screen2[None])
+        planes2 = prepare_face_planes(sj2, jnp.asarray(z[None]),
+                                      jnp.asarray(faces)).planes
+        sorted_p, order = sort_faces_by_ymin(planes2, sj2, jnp.asarray(faces))
+        np.testing.assert_array_equal(np.asarray(order[0]), [1, 0])
+        np.testing.assert_allclose(np.asarray(sorted_p[0, 0]),
+                                   np.asarray(planes2[0, 1]))
+
+
 class TestSortedPallasRender:
     def test_render_part_seg_pallas_matches_xla(self):
         """Full render_part_seg pallas path (with face sorting) vs xla."""
