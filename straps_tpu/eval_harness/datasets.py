@@ -1,0 +1,110 @@
+"""Real-dataset adapters for the evaluation harness.
+
+SSP-3D ships as an npz of labels + image/silhouette folders; 3DPW ships as
+per-sequence pickles.  These adapters normalise either into the harness's
+canonical dict (poses (N,72), shapes (N,10), genders (N,), optional
+silhouettes/joints2D) — the formats the reference's (unshipped) eval scripts
+would have consumed via `EvalMetricsTracker`
+(`metrics/eval_metrics_tracker.py`).  Key aliases cover the common public
+releases; silhouette/image folders are loaded through the native batch
+loader when present.
+"""
+
+import glob
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+_POSE_KEYS = ("poses", "pose", "body_poses", "smpl_poses")
+_SHAPE_KEYS = ("shapes", "shape", "betas", "bodyshapes", "smpl_shapes")
+_GENDER_KEYS = ("genders", "gender")
+_JOINTS_KEYS = ("joints2D", "joints2d", "keypoints2d")
+
+
+def _first_key(data: Dict[str, np.ndarray], keys) -> Optional[str]:
+    for k in keys:
+        if k in data:
+            return k
+    return None
+
+
+def load_ssp3d(labels_path: str,
+               silhouette_dir: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Load an SSP-3D-style labels npz (+ optional silhouette png/npy dir).
+
+    Returns the canonical eval dict.  Genders are normalised to
+    'm'/'f'/'n' single chars.
+    """
+    data = dict(np.load(labels_path, allow_pickle=True))
+    pk = _first_key(data, _POSE_KEYS)
+    sk = _first_key(data, _SHAPE_KEYS)
+    assert pk and sk, f"no pose/shape keys in {labels_path}: {list(data)}"
+    out: Dict[str, np.ndarray] = {
+        "poses": np.asarray(data[pk], np.float32).reshape(-1, 72),
+        "shapes": np.asarray(data[sk], np.float32).reshape(-1, 10),
+    }
+    gk = _first_key(data, _GENDER_KEYS)
+    if gk is not None:
+        out["genders"] = np.asarray(
+            [str(g).lower()[:1] for g in data[gk]])
+    jk = _first_key(data, _JOINTS_KEYS)
+    if jk is not None:
+        out["joints2D"] = np.asarray(data[jk], np.float32)[..., :2]
+    if "fnames" in data:
+        out["fnames"] = np.asarray([str(f) for f in data["fnames"]])
+    if silhouette_dir is not None and "fnames" in out:
+        sils = []
+        for f in out["fnames"]:
+            base = os.path.splitext(f)[0]
+            npy = os.path.join(silhouette_dir, base + ".npy")
+            png = os.path.join(silhouette_dir, base + ".png")
+            if os.path.exists(npy):
+                sils.append(np.load(npy).astype(np.float32))
+            elif os.path.exists(png):
+                import cv2
+                sils.append((cv2.imread(png, cv2.IMREAD_GRAYSCALE) > 0)
+                            .astype(np.float32))
+            else:
+                sils = None
+                break
+        if sils:
+            out["silhouettes"] = np.stack(sils)
+    return out
+
+
+def load_3dpw(sequence_dir: str, split: str = "test",
+              stride: int = 1) -> Dict[str, np.ndarray]:
+    """Load 3DPW sequence pickles: <dir>/sequenceFiles/<split>/*.pkl, each
+    with per-frame `poses` (F, 72), `betas` (10,), `genders` per actor.
+
+    Frames with `campose_valid` false are dropped when the flag is present.
+    """
+    import pickle
+
+    paths = sorted(glob.glob(os.path.join(
+        sequence_dir, "sequenceFiles", split, "*.pkl")))
+    if not paths:
+        paths = sorted(glob.glob(os.path.join(sequence_dir, "*.pkl")))
+    assert paths, f"no 3DPW sequence pkls under {sequence_dir}"
+    poses, shapes, genders = [], [], []
+    for p in paths:
+        with open(p, "rb") as f:
+            seq = pickle.load(f, encoding="latin1")
+        n_actors = len(seq["poses"])
+        for a in range(n_actors):
+            pp = np.asarray(seq["poses"][a], np.float32)[::stride]
+            valid = None
+            if "campose_valid" in seq:
+                valid = np.asarray(seq["campose_valid"][a], bool)[::stride]
+                pp = pp[valid]
+            beta = np.asarray(seq["betas"][a], np.float32)[:10]
+            g = str(seq.get("genders", ["n"] * n_actors)[a]).lower()[:1]
+            poses.append(pp)
+            shapes.append(np.tile(beta, (len(pp), 1)))
+            genders.append(np.asarray([g] * len(pp)))
+    return {
+        "poses": np.concatenate(poses),
+        "shapes": np.concatenate(shapes),
+        "genders": np.concatenate(genders),
+    }

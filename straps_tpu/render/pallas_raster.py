@@ -3,10 +3,10 @@
 One kernel instance owns a (ROWS x W) pixel strip of one batch element and
 loops over face chunks held in VMEM, evaluating the 4 affine plane functions
 (3 edges + depth, prepared by `straps_tpu.render.raster.prepare_face_planes`)
-as (chunk x ROWS*W) VPU broadcast tiles with a running min-depth / face-id
-carried through the chunk loop.  Face chunks whose projected y-range misses
-the strip are skipped via `lax.cond` (per-chunk bounds precomputed on
-device; pair with `sort_faces_by_ymin` so the bounds are tight).
+as (chunk x W) VPU broadcast tiles per row with a running min-depth /
+face-id kept in the output VMEM blocks.  Face chunks whose projected
+y-range misses the strip are skipped via `pl.when` (per-chunk bounds
+precomputed on device; spatially coherent face order keeps them tight).
 
 Compared to the XLA scan path this keeps the (faces x pixels) intermediates
 entirely in VMEM/registers — zero HBM traffic beyond planes in + id/depth

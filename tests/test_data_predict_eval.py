@@ -109,3 +109,42 @@ class TestEvalHarness:
         assert 0.0 <= metrics["silhouette_ious"] <= 1.0
         assert os.path.exists(tmp_path / "pves_per_frame.npy")
         assert np.load(tmp_path / "pves_per_frame.npy").shape == (8,)
+
+
+class TestDatasetAdapters:
+    def test_load_ssp3d_aliases(self, tmp_path):
+        import numpy as np
+        from straps_tpu.eval_harness import load_ssp3d
+        rng = np.random.RandomState(0)
+        np.savez(tmp_path / "labels.npz",
+                 fnames=np.array(["a.png", "b.png"]),
+                 bodyshapes=rng.randn(2, 10).astype(np.float32),
+                 poses=rng.randn(2, 72).astype(np.float32),
+                 genders=np.array(["male", "f"]),
+                 joints2D=rng.rand(2, 17, 3).astype(np.float32))
+        out = load_ssp3d(str(tmp_path / "labels.npz"))
+        assert out["poses"].shape == (2, 72)
+        assert out["shapes"].shape == (2, 10)
+        assert list(out["genders"]) == ["m", "f"]
+        assert out["joints2D"].shape == (2, 17, 2)
+
+    def test_load_3dpw_sequences(self, tmp_path):
+        import numpy as np
+        import pickle
+        from straps_tpu.eval_harness import load_3dpw
+        d = tmp_path / "sequenceFiles" / "test"
+        d.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        seq = {"poses": [rng.randn(5, 72).astype(np.float32),
+                         rng.randn(5, 72).astype(np.float32)],
+               "betas": [rng.randn(13).astype(np.float32),
+                         rng.randn(13).astype(np.float32)],
+               "genders": ["m", "f"],
+               "campose_valid": [np.array([1, 1, 0, 1, 1], bool),
+                                 np.ones(5, bool)]}
+        with open(d / "seq0.pkl", "wb") as f:
+            pickle.dump(seq, f)
+        out = load_3dpw(str(tmp_path))
+        assert out["poses"].shape == (9, 72)   # 4 valid + 5
+        assert out["shapes"].shape == (9, 10)
+        assert set(out["genders"]) == {"m", "f"}
