@@ -55,6 +55,8 @@ class ModelConfig:
     resnet_in_channels: int = 18                    # run_train.py:35
     resnet_layers: int = 18
     ief_iters: int = 3
+    # 'bfloat16' runs encoder convs at MXU rate (params stay float32)
+    compute_dtype: Optional[str] = None
 
 
 @dataclass

@@ -4,9 +4,10 @@ Equivalent surface to the reference `SingleInputRegressor`
 (`models/regressor.py:7-47`), NHWC input.
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
+import jax.numpy as jnp
 import numpy as np
 
 from straps_tpu.models.ief import IEFModule, make_initial_params_estimate
@@ -24,17 +25,21 @@ class SingleInputRegressor(nn.Module):
     resnet_layers: int = 18
     ief_iters: int = 3
     initial_estimate: tuple = ()
+    # Encoder computation dtype ('bfloat16' runs the convs at MXU rate;
+    # params, IEF head and outputs stay float32).
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, proxy, train: bool = True):
         """proxy: (B, H, W, C) NHWC -> (cam (B,3), pose6d (B,144), shape (B,10))."""
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         if self.resnet_layers == 18:
             encoder = ResNetEncoder(block=BasicBlock, layers=(2, 2, 2, 2),
-                                    name="encoder")
+                                    dtype=dtype, name="encoder")
             fc_neurons = (512, 512)
         elif self.resnet_layers == 50:
             encoder = ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3),
-                                    name="encoder")
+                                    dtype=dtype, name="encoder")
             fc_neurons = (1024, 1024)
         else:
             raise ValueError(f"Unsupported resnet_layers={self.resnet_layers}")
@@ -46,9 +51,11 @@ class SingleInputRegressor(nn.Module):
 
 def build_regressor(mean_pose_6d: np.ndarray, mean_shape: np.ndarray,
                     in_channels: int = 18, resnet_layers: int = 18,
-                    ief_iters: int = 3) -> SingleInputRegressor:
+                    ief_iters: int = 3,
+                    compute_dtype: Optional[str] = None) -> SingleInputRegressor:
     init = make_initial_params_estimate(mean_pose_6d, mean_shape)
     return SingleInputRegressor(in_channels=in_channels,
                                 resnet_layers=resnet_layers,
                                 ief_iters=ief_iters,
-                                initial_estimate=tuple(init.tolist()))
+                                initial_estimate=tuple(init.tolist()),
+                                compute_dtype=compute_dtype)

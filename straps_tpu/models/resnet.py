@@ -8,15 +8,15 @@ no in-place ops.  Weight-compatible with the reference checkpoints via
 `straps_tpu.models.convert`.
 """
 
-from typing import Sequence, Type, Union
+from typing import Any, Sequence, Type, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax momentum = 0.9).
 
-def _bn(train: bool, name: str) -> nn.BatchNorm:
-    return nn.BatchNorm(epsilon=1e-5, momentum=0.9,
+def _bn(train: bool, name: str, dtype=None) -> nn.BatchNorm:
+    return nn.BatchNorm(epsilon=1e-5, momentum=0.9, dtype=dtype,
                         use_running_average=not train, name=name)
 
 
@@ -25,22 +25,25 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 1
+    dtype: Any = None        # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=1, use_bias=False, name="conv1")(x)
-        out = _bn(train, "bn1")(out)
+                      padding=1, use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = _bn(train, "bn1", self.dtype)(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                      name="conv2")(out)
-        out = _bn(train, "bn2")(out)
+                      dtype=self.dtype, name="conv2")(out)
+        out = _bn(train, "bn2", self.dtype)(out)
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
-            identity = _bn(train, "downsample_bn")(identity)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = _bn(train, "downsample_bn", self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -49,23 +52,27 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: Any = None        # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        out = nn.relu(_bn(train, "bn1")(out))
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.relu(_bn(train, "bn1", self.dtype)(out))
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=1, use_bias=False, name="conv2")(out)
-        out = nn.relu(_bn(train, "bn2")(out))
+                      padding=1, use_bias=False, dtype=self.dtype,
+                      name="conv2")(out)
+        out = nn.relu(_bn(train, "bn2", self.dtype)(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      name="conv3")(out)
-        out = _bn(train, "bn3")(out)
+                      dtype=self.dtype, name="conv3")(out)
+        out = _bn(train, "bn3", self.dtype)(out)
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
-            identity = _bn(train, "downsample_bn")(identity)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = _bn(train, "downsample_bn", self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -81,12 +88,17 @@ class ResNetEncoder(nn.Module):
     # When True, return the dict of per-stage feature maps (res2..res5,
     # FPN/detection backbone use) instead of the pooled feature vector.
     return_stages: bool = False
+    # Computation dtype (e.g. jnp.bfloat16 for MXU-rate convs); parameters
+    # and the returned pooled features stay float32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    name="conv1")(x)
-        x = nn.relu(_bn(train, "bn1")(x))
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(_bn(train, "bn1", self.dtype)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         planes = 64
         in_planes = 64
@@ -98,6 +110,7 @@ class ResNetEncoder(nn.Module):
                 needs_ds = (b == 0) and (
                     s != 1 or in_planes != planes * self.block.expansion)
                 x = self.block(planes=planes, stride=s, downsample=needs_ds,
+                               dtype=self.dtype,
                                name=f"layer{stage + 1}_{b}")(x, train=train)
                 in_planes = planes * self.block.expansion
             stages[f"res{stage + 2}"] = x
@@ -105,7 +118,7 @@ class ResNetEncoder(nn.Module):
         if self.return_stages:
             return stages
         # Global average pool (adaptive avgpool to 1x1 + flatten).
-        return jnp.mean(x, axis=(1, 2))
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
 def resnet18() -> ResNetEncoder:

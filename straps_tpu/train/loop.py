@@ -40,7 +40,8 @@ def build_training(cfg: TrainConfig, assets=None):
     model = build_regressor(assets.mean_pose_6d, assets.mean_shape,
                             in_channels=cfg.model.resnet_in_channels,
                             resnet_layers=cfg.model.resnet_layers,
-                            ief_iters=cfg.model.ief_iters)
+                            ief_iters=cfg.model.ief_iters,
+                            compute_dtype=cfg.model.compute_dtype)
     variables = model.init(jax.random.PRNGKey(cfg.seed),
                            jnp.zeros((1, cfg.img_wh, cfg.img_wh,
                                       cfg.model.resnet_in_channels)),

@@ -112,3 +112,25 @@ class TestConvert:
                            "batch_stats": back["batch_stats"]}, x, train=False)
         for a, b in zip(ref, got):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestComputeDtype:
+    def test_bf16_encoder_forward_close_to_f32(self):
+        import jax
+        mean_pose = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24)
+        mean_shape = np.zeros(10, np.float32)
+        from straps_tpu.models import build_regressor
+        m32 = build_regressor(mean_pose, mean_shape)
+        m16 = build_regressor(mean_pose, mean_shape, compute_dtype="bfloat16")
+        variables = m32.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 64, 64, 18)), train=False)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(2, 64, 64, 18).astype(np.float32))
+        out32 = m32.apply(variables, x, train=False)
+        out16 = m16.apply(variables, x, train=False)
+        for a, b in zip(out32, out16):
+            # params identical; bf16 activations cost some precision only
+            assert a.dtype == jnp.float32 and b.dtype == jnp.float32
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=0.2, rtol=0.3)
+            assert np.all(np.isfinite(np.asarray(b)))
