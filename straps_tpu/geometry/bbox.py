@@ -176,3 +176,13 @@ def pad_to_square_params(height: int, width: int) -> Tuple[int, int]:
     if width < height:
         return 0, (height - width) // 2
     return (width - height) // 2, 0
+
+
+def pad_to_square(image):
+    """Zero-pad an (H, W[, C]) image to square
+    (`utils/image_utils.py:6-21` semantics)."""
+    import numpy as np
+    h, w = image.shape[:2]
+    top, left = pad_to_square_params(h, w)
+    pads = [(top, top), (left, left)] + [(0, 0)] * (image.ndim - 2)
+    return np.pad(np.asarray(image), pads)

@@ -7,6 +7,21 @@ into the jitted training step and never touches the host.
 """
 
 import jax.numpy as jnp
+import numpy as np
+
+from straps_tpu import constants as C
+
+
+def convert_multiclass_to_binary_labels(seg):
+    """Part segmentation -> binary mask (`utils/label_conversions.py:39-55`)."""
+    return (jnp.asarray(seg) != 0).astype(jnp.float32)
+
+
+def convert_densepose_to_6part_lsp_labels(densepose_seg):
+    """DensePose 24-part labels -> LSP 6-part labels
+    (`utils/label_conversions.py:8-36`), as one LUT gather."""
+    lut = np.asarray(C.DENSEPOSE_TO_6PART, np.int32)
+    return jnp.asarray(lut)[jnp.asarray(densepose_seg, jnp.int32)]
 
 
 def joints_to_gaussian_heatmaps(joints2d: jnp.ndarray, img_wh: int,

@@ -221,3 +221,26 @@ class TestBbox:
         assert out_seg.shape == (4, 32, 32)
         assert out_j.shape == (4, 17, 2)
         assert np.asarray(out_seg).max() == 1.0
+
+
+class TestLabelConversions:
+    def test_binary_labels(self):
+        from straps_tpu.geometry import convert_multiclass_to_binary_labels
+        seg = jnp.asarray(np.array([[0, 3], [6, 0]], np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(convert_multiclass_to_binary_labels(seg)),
+            [[0, 1], [1, 0]])
+
+    def test_densepose_to_6part(self):
+        from straps_tpu.geometry import convert_densepose_to_6part_lsp_labels
+        dp = jnp.asarray(np.array([0, 1, 2, 3, 4, 23, 24], np.int32))
+        out = np.asarray(convert_densepose_to_6part_lsp_labels(dp))
+        # reference map: 1,2->torso(6); 3->2; 4->1; 5->4; 23,24->head(3)
+        np.testing.assert_array_equal(out, [0, 6, 6, 2, 1, 3, 3])
+
+    def test_pad_to_square(self):
+        from straps_tpu.geometry import pad_to_square
+        img = np.ones((10, 20, 3), np.float32)
+        out = pad_to_square(img)
+        assert out.shape == (20, 20, 3)
+        assert out[:5].sum() == 0 and out[5:15].sum() > 0
