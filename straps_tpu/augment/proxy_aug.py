@@ -6,8 +6,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from straps_tpu import constants as C
 
 

@@ -8,7 +8,7 @@ device-friendly shuffled index permutation, optionally sharded per host for
 multi-host (DCN) training.
 """
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

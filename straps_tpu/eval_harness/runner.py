@@ -15,11 +15,9 @@ via the renderer (synthetic-eval mode, used by tests/bench).
 
 from typing import Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from straps_tpu import constants as C
 from straps_tpu.config import PredictConfig
 from straps_tpu.geometry import get_intrinsics_matrix
 from straps_tpu.metrics import EvalMetricsTracker, compute_per_frame_metrics

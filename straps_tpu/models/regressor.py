@@ -4,7 +4,7 @@ Equivalent surface to the reference `SingleInputRegressor`
 (`models/regressor.py:7-47`), NHWC input.
 """
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -18,6 +18,6 @@ __all__ = [
     "KeypointRCNN", "PointRendRCNN", "DensePoseRCNN", "DetectionTrunk",
     "normalise_image", "DEFAULT_IMAGE_SIZE",
     "get_largest_centred_box_index", "get_largest_centred_mask_index",
-    "predict_joints2d", "predict_silhouette",
+    "predict_joints2d", "predict_silhouette", "make_apply_fn",
     "convert_d2_state", "load_d2_pkl",
 ]

@@ -1,7 +1,7 @@
 """Anchor generation for FPN levels (detectron2 DefaultAnchorGenerator
 semantics: per-level one size, 3 aspect ratios, offset 0)."""
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ mode).
 """
 
 import pickle
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -7,7 +7,7 @@ binary-silhouette extraction.  Selection runs in numpy on the (tiny) static
 detection outputs; the heavy model forwards are jitted.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

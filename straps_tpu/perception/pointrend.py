@@ -9,8 +9,6 @@ point counts are static, so the whole refinement unrolls inside jit; the
 dynamic top-k uncertain-point selection is `jax.lax.top_k`.
 """
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

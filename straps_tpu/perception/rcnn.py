@@ -8,7 +8,7 @@ counts.  Single image per call (the reference also predicts one image at a
 time); vmap for batches.
 """
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -7,13 +7,12 @@ jitted rollout (regressor -> rot6d -> SMPL -> reposed SMPL -> projection).
 
 import glob
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from straps_tpu import constants as C
 from straps_tpu.config import PredictConfig
 from straps_tpu.geometry import (
     orthographic_project, rot6d_to_rotmat, undo_keypoint_normalisation,

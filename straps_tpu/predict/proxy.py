@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from straps_tpu import constants as C
 from straps_tpu.geometry import crop_and_resize_padded, joints_to_gaussian_heatmaps
 
 

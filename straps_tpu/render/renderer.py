@@ -12,7 +12,6 @@ import jax.numpy as jnp
 
 from straps_tpu.render.raster import (
     project_to_screen, prepare_face_planes, face_chunk_row_bounds,
-    face_chunk_row_bounds_from_planes, sort_faces_by_ymin,
     rasterize_xla, face_ids_to_parts,
 )
 from straps_tpu.render.pallas_raster import rasterize_pallas, FACE_CHUNK

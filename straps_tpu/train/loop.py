@@ -13,7 +13,6 @@ compatibility).
 """
 
 import os
-import time
 from typing import Optional, Tuple
 
 import jax

@@ -7,17 +7,12 @@ Sharding: batch over the mesh `data` axis, state replicated — XLA inserts
 the ICI gradient all-reduce automatically.
 """
 
-import functools
-from typing import Dict, Tuple
-
 import jax
-import jax.numpy as jnp
 
 from straps_tpu.config import TrainConfig
 from straps_tpu.geometry import orthographic_project, rot6d_to_rotmat
 from straps_tpu.losses import multi_task_loss
 from straps_tpu.metrics import compute_per_frame_metrics
-from straps_tpu.models import NUM_POSE_PARAMS
 from straps_tpu.smpl import SmplAssets, smpl_forward
 from straps_tpu.train.state import TrainState
 from straps_tpu.train.synthetic import (

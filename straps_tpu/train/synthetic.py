@@ -9,7 +9,7 @@ function of a PRNG key that jits into the training step.  Everything is
 (B, ...) batched with static shapes.
 """
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
