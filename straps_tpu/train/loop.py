@@ -95,6 +95,7 @@ def train(cfg: TrainConfig, assets=None,
 
     for epoch in range(current_epoch, cfg.num_epochs):
         tracker.initialise_loss_metric_sums()
+        timer.reset()  # per-epoch means (first epoch includes compiles)
         key = jax.random.PRNGKey(cfg.seed * 100003 + epoch)
 
         for i, b in enumerate(epoch_batches(train_ds, cfg.batch_size, rng)):
@@ -105,11 +106,12 @@ def train(cfg: TrainConfig, assets=None,
             with timer.measure("train_step"):
                 state, loss, task_losses, per_frame = train_step(
                     state, sub, batch["pose"], batch["shape"])
-            tracker.update_per_batch(
-                "train", float(loss),
-                {k: float(v) for k, v in task_losses.items()},
-                {k: np.asarray(v) for k, v in per_frame.items()},
-                b["pose"].shape[0])
+            # One host transfer for all scalars/metrics (per-leaf float()
+            # would cost a device round trip each on tunneled TPUs).
+            loss, task_losses, per_frame = jax.device_get(
+                (loss, task_losses, per_frame))
+            tracker.update_per_batch("train", float(loss), task_losses,
+                                     per_frame, b["pose"].shape[0])
 
         for i, b in enumerate(epoch_batches(val_ds, cfg.batch_size, rng)):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
@@ -119,11 +121,10 @@ def train(cfg: TrainConfig, assets=None,
             with timer.measure("val_step"):
                 loss, task_losses, per_frame = val_step(
                     state, sub, batch["pose"], batch["shape"])
-            tracker.update_per_batch(
-                "val", float(loss),
-                {k: float(v) for k, v in task_losses.items()},
-                {k: np.asarray(v) for k, v in per_frame.items()},
-                b["pose"].shape[0])
+            loss, task_losses, per_frame = jax.device_get(
+                (loss, task_losses, per_frame))
+            tracker.update_per_batch("val", float(loss), task_losses,
+                                     per_frame, b["pose"].shape[0])
 
         tracker.update_per_epoch()
         if verbose:
