@@ -129,4 +129,8 @@ def resnet50() -> ResNetEncoder:
     return ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3))
 
 
+def resnet101() -> ResNetEncoder:
+    return ResNetEncoder(block=Bottleneck, layers=(3, 4, 23, 3))
+
+
 FEATURE_DIMS = {18: 512, 50: 2048}

@@ -41,12 +41,17 @@ class FPN(nn.Module):
 
 
 class ResNet50FPN(nn.Module):
-    """Full detection backbone: image (B, H, W, 3) -> [P2, P3, P4, P5, P6]."""
+    """Full detection backbone: image (B, H, W, 3) -> [P2, P3, P4, P5, P6].
+
+    `depth` 50 or 101 (the reference's DensePose model is R101-FPN,
+    `DensePose/configs`)."""
     out_channels: int = 256
+    depth: int = 50
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
-        stages = ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3),
+        layers = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        stages = ResNetEncoder(block=Bottleneck, layers=layers,
                                return_stages=True, name="bottom_up")(
             images, train=train)
         return FPN(out_channels=self.out_channels, name="fpn")(stages)

@@ -47,6 +47,7 @@ class DetectionTrunk(nn.Module):
     """
     post_nms_topk: int = POST_NMS_TOPK
     max_detections: int = MAX_DETECTIONS
+    backbone_depth: int = 50
 
     @nn.compact
     def __call__(self, image: jnp.ndarray):
@@ -55,7 +56,8 @@ class DetectionTrunk(nn.Module):
         Returns (fpn_feats, det_boxes (D,4), det_scores (D,), det_valid (D,)).
         """
         img_size = image.shape[0]
-        feats = ResNet50FPN(name="backbone")(image[None])
+        feats = ResNet50FPN(depth=self.backbone_depth,
+                            name="backbone")(image[None])
         feats = [f[0] for f in feats]                     # drop batch dim
         logits, deltas = RPNHead(name="rpn_head")(feats)
         anchors = fpn_anchors(img_size, FPN_STRIDES)
@@ -112,17 +114,18 @@ class PointRendRCNN(nn.Module):
 
 
 class DensePoseRCNN(nn.Module):
+    """Person detection + DensePose IUV (reference DensePose-R101-FPN
+    front-end, `predict/predict_densepose.py`)."""
     post_nms_topk: int = POST_NMS_TOPK
     max_detections: int = MAX_DETECTIONS
-    """Person detection + DensePose IUV (reference DensePose-R101 front-end,
-    `predict/predict_densepose.py`; R50 backbone here — the head stack is
-    the converter-relevant surface)."""
+    backbone_depth: int = 101
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats, boxes, scores, valid = DetectionTrunk(
             post_nms_topk=self.post_nms_topk,
-            max_detections=self.max_detections, name="trunk")(image)
+            max_detections=self.max_detections,
+            backbone_depth=self.backbone_depth, name="trunk")(image)
         dp_roi = pooled_box_features(feats, boxes, 28)
         x = DensePoseHead(name="densepose_head")(dp_roi)
         s, i, u, v = DensePosePredictor(name="densepose_predictor")(x)
