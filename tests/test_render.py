@@ -183,3 +183,43 @@ class TestPartsDecode:
         fparts = jnp.asarray(np.array([3, 5, 6], np.int32))
         out = np.asarray(face_ids_to_parts(fid, fparts))
         np.testing.assert_array_equal(out, [[0, 3], [5, 6]])
+
+
+class TestSoftSilhouette:
+    def test_matches_hard_silhouette_coarsely(self):
+        import jax
+        from straps_tpu.render.soft_silhouette import soft_silhouette_from_wp
+        from straps_tpu.render import render_silhouette
+        from straps_tpu.geometry import (
+            get_intrinsics_matrix, weak_perspective_to_camera_translation)
+        assets = load_synthetic_assets()
+        verts = assets.v_template[None]
+        wp = jnp.asarray(np.array([[0.9, 0.0, 0.0]], np.float32))
+        soft = np.asarray(soft_silhouette_from_wp(verts, wp, 64))
+        # hard render with the equivalent perspective camera
+        f = 5000.0 * 64 / 256.0
+        cam_t = weak_perspective_to_camera_translation(wp, f, 64)
+        K = jnp.asarray(get_intrinsics_matrix(64, 64, f))
+        hard, _ = render_silhouette(verts, cam_t, K, assets.faces, 64,
+                                    backend="xla")
+        hard = np.asarray(hard[0])
+        soft_bin = (soft[0] > 0.5).astype(np.float32)
+        inter = (soft_bin * hard).sum()
+        union = ((soft_bin + hard) > 0).sum()
+        assert inter / union > 0.5, inter / union
+
+    def test_gradient_flows_to_verts_and_cam(self):
+        import jax
+        from straps_tpu.render.soft_silhouette import soft_silhouette_from_wp
+        assets = load_synthetic_assets()
+        target = jnp.zeros((1, 32, 32))
+
+        def loss(verts, wp):
+            s = soft_silhouette_from_wp(verts, wp, 32)
+            return jnp.mean((s - target) ** 2)
+
+        g_v, g_c = jax.grad(loss, argnums=(0, 1))(
+            assets.v_template[None], jnp.asarray([[0.9, 0.0, 0.0]]))
+        assert float(jnp.abs(g_v).max()) > 0
+        assert float(jnp.abs(g_c).max()) > 0
+        assert np.all(np.isfinite(np.asarray(g_v)))
