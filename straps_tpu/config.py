@@ -101,6 +101,8 @@ class TrainConfig:
     data_parallel_devices: int = 0
     # matmul precision for the parity-critical SMPL path
     smpl_precision: Optional[str] = "highest"
+    # resolution of the (optional) differentiable silhouette loss
+    silhouette_loss_wh: int = 64
 
 
 @dataclass

@@ -60,6 +60,17 @@ def _forward_and_dicts(model, params, batch_stats, log_vars,
         "shape_params": batch.target_shape,
         "vis": batch.target_vis,
     }
+    if "silhouette" in log_vars:
+        # Differentiable silhouette supervision (beyond the reference, whose
+        # silhouette task is vestigial): soft vertex-splat of the predicted
+        # mesh vs the downsampled target silhouette, both in cropped space.
+        from straps_tpu.render.soft_silhouette import soft_silhouette_from_wp
+        wh = cfg.silhouette_loss_wh
+        pred_dict["silhouettes"] = soft_silhouette_from_wp(
+            pred.vertices, cam, wh)
+        B_ = batch.proxy.shape[0]
+        target_dict["silhouettes"] = jax.image.resize(
+            batch.proxy[..., 0], (B_, wh, wh), method="linear")
     loss, task_losses = multi_task_loss(log_vars, target_dict, pred_dict,
                                         cfg.img_wh)
     return (loss, (task_losses, pred_dict, target_dict, pred_reposed.vertices,

@@ -111,3 +111,25 @@ class TestTrainLoop:
         assert len(tracker2.history["train_losses"]) == 3
         assert tracker2.history["train_losses"][:2] == \
             tracker.history["train_losses"][:2]
+
+
+class TestSilhouetteLoss:
+    def test_silhouette_task_trains(self, tmp_path, assets):
+        cfg = tiny_config(tmp_path)
+        cfg.losses_on = ("verts", "silhouette")
+        cfg.init_loss_weights = {"verts": 1.0, "silhouette": 100.0}
+        cfg.silhouette_loss_wh = 32
+        model, assets_, state, tx, train_step, _, mesh = build_training(
+            cfg, assets)
+        rng = np.random.RandomState(0)
+        pose = jnp.asarray(rng.randn(8, 72).astype(np.float32) * 0.2)
+        shape = jnp.asarray(rng.randn(8, 10).astype(np.float32) * 0.5)
+        state = replicate(state, mesh)
+        batch = shard_batch({"pose": pose, "shape": shape}, mesh)
+        new_state, loss, task_losses, _ = train_step(
+            state, jax.random.PRNGKey(0), batch["pose"], batch["shape"])
+        assert np.isfinite(float(loss))
+        assert "silhouette" in task_losses
+        assert np.isfinite(float(task_losses["silhouette"]))
+        assert float(new_state.log_vars["silhouette"]) != \
+            float(state.log_vars["silhouette"])
