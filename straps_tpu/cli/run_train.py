@@ -18,6 +18,9 @@ def main(argv=None):
     parser.add_argument("--config", default=None, help="YAML config file")
     parser.add_argument("--synthetic-data", action="store_true",
                         help="generate tiny synthetic corpora (smoke runs)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of the run into "
+                             "this directory")
     parser.add_argument("overrides", nargs="*",
                         help="key=value config overrides (dotted paths)")
     args = parser.parse_args(argv)
@@ -31,7 +34,9 @@ def main(argv=None):
                                               n=max(cfg.batch_size * 2, 32),
                                               seed=1)
     print(f"config: {cfg}")
-    state, best_params, tracker = train(cfg)
+    from straps_tpu.utils.profiling import trace
+    with trace(args.profile_dir):
+        state, best_params, tracker = train(cfg)
     print("Training completed. Best val metrics:",
           {m: tracker.history[f'val_{m}'][-1] for m in cfg.save_val_metrics})
 

@@ -133,3 +133,55 @@ class TestSilhouetteLoss:
         assert np.isfinite(float(task_losses["silhouette"]))
         assert float(new_state.log_vars["silhouette"]) != \
             float(state.log_vars["silhouette"])
+
+
+class TestDataParallelCorrectness:
+    def test_8dev_step_matches_1dev(self, tmp_path, assets):
+        """The sharded step must compute the same gradients as the
+        single-device step (SPMD all-reduce correctness).  SGD with lr=1 is
+        used so the parameter delta IS the gradient — Adam's first step is
+        +-lr*sign(g), which amplifies reduction-order noise on near-zero
+        gradients into spurious mismatches."""
+        import optax
+        from straps_tpu.models import build_regressor
+        from straps_tpu.losses import init_loss_log_vars
+        from straps_tpu.parallel import make_mesh
+        from straps_tpu.train import (
+            create_train_state, make_train_step,
+        )
+
+        cfg = tiny_config(tmp_path)
+        rng = np.random.RandomState(0)
+        pose = jnp.asarray(rng.randn(8, 72).astype(np.float32) * 0.2)
+        shape = jnp.asarray(rng.randn(8, 10).astype(np.float32) * 0.5)
+        key = jax.random.PRNGKey(3)
+
+        model = build_regressor(assets.mean_pose_6d, assets.mean_shape)
+        variables = model.init(jax.random.PRNGKey(cfg.seed),
+                               jnp.zeros((1, 64, 64, 18)), train=False)
+        log_vars = init_loss_log_vars(cfg.losses_on, cfg.init_loss_weights)
+        tx = optax.sgd(1.0)
+
+        results = {}
+        for n_dev in (1, 8):
+            state = create_train_state(variables["params"],
+                                       variables["batch_stats"],
+                                       dict(log_vars), tx)
+            mesh = make_mesh(n_dev)
+            assert mesh.devices.size == n_dev
+            train_step = make_train_step(model, assets, cfg, tx)
+            state = replicate(state, mesh)
+            batch = shard_batch({"pose": pose, "shape": shape}, mesh)
+            new_state, loss, _, _ = train_step(state, key, batch["pose"],
+                                               batch["shape"])
+            grads = jax.tree_util.tree_map(
+                lambda new, old: np.asarray(new) - np.asarray(old),
+                new_state.params, state.params)
+            results[n_dev] = (float(loss), grads)
+        loss1, grads1 = results[1]
+        loss8, grads8 = results[8]
+        assert abs(loss1 - loss8) < 1e-4, (loss1, loss8)
+        for a, b in zip(jax.tree_util.tree_leaves(grads1),
+                        jax.tree_util.tree_leaves(grads8)):
+            scale = max(np.abs(a).max(), 1e-8)
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-4)
