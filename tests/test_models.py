@@ -134,3 +134,29 @@ class TestComputeDtype:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=0.2, rtol=0.3)
             assert np.all(np.isfinite(np.asarray(b)))
+
+
+class TestResnet50Regressor:
+    def test_r50_roundtrip_and_forward(self):
+        """R50 variant: torch-name round-trip (bottleneck conv3/bn3 blocks)
+        + forward parity after conversion."""
+        mean_pose = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24)
+        model = build_regressor(mean_pose, np.zeros(10, np.float32),
+                                resnet_layers=50)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 18)), train=False)
+        sd = flax_to_torch_state_dict(
+            {"params": jax.tree_util.tree_map(np.asarray, variables["params"]),
+             "batch_stats": jax.tree_util.tree_map(
+                 np.asarray, variables["batch_stats"])})
+        assert "image_encoder.layer1.0.conv3.weight" in sd
+        assert "image_encoder.layer1.0.downsample.0.weight" in sd
+        assert sd["ief_module.fc1.weight"].shape == (1024, 2048 + 157)
+        back = torch_state_dict_to_flax(sd)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(1, 64, 64, 18).astype(np.float32))
+        ref = model.apply(variables, x, train=False)
+        got = model.apply({"params": back["params"],
+                           "batch_stats": back["batch_stats"]}, x, train=False)
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
