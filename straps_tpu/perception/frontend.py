@@ -57,8 +57,15 @@ def get_largest_centred_mask_index(masks: np.ndarray, valid: np.ndarray,
 
 
 def make_apply_fn(model, variables):
-    """One jitted apply for repeated per-image calls (avoids re-tracing)."""
-    return jax.jit(lambda img: model.apply(variables, img))
+    """One jitted apply for repeated per-image calls (avoids re-tracing).
+
+    Variables are passed as a jit ARGUMENT, not closed over: closed-over
+    arrays are baked into the program as constants, which bloats the
+    serialized executable by the full weight size (the axon remote-compile
+    service rejects DensePose-R101-sized programs with HTTP 413) and slows
+    every compile."""
+    jitted = jax.jit(lambda v, img: model.apply(v, img))
+    return lambda img: jitted(variables, img)
 
 
 def predict_joints2d(image_rgb: np.ndarray, model, variables,

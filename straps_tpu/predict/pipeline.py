@@ -25,10 +25,14 @@ from straps_tpu.train.synthetic import select_joint_sets
 
 
 def make_predict_fn(model, variables, assets, img_wh: int):
-    """Jitted proxy -> prediction rollout."""
+    """Jitted proxy -> prediction rollout.
+
+    Weights and body-model assets enter as jit arguments (closed-over arrays
+    would be baked into the executable as constants — slower compiles and
+    oversized programs for the remote-compile service)."""
 
     @jax.jit
-    def predict(proxies):
+    def _predict(variables, assets, proxies):
         cam, pose6d, shape = model.apply(variables, proxies, train=False)
         B = cam.shape[0]
         rotmats = rot6d_to_rotmat(pose6d.reshape(B, 24, 6))
@@ -45,7 +49,7 @@ def make_predict_fn(model, variables, assets, img_wh: int):
             "joints3d_all": out.joints,
         }
 
-    return predict
+    return lambda proxies: _predict(variables, assets, proxies)
 
 
 def load_cached_proxies(proxy_dir: str, img_wh: int):
