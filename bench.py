@@ -31,24 +31,29 @@ def build_forward(device):
     variables = jax.device_put(variables, device)
     assets_dev = jax.device_put(assets, device)
 
-    def forward(proxy):
+    # Weights/assets as jit arguments (closures would bake them into the
+    # program as constants).
+    def forward(variables, assets_dev, proxy):
         cam, pose6d, shape = model.apply(variables, proxy, train=False)
         rm = rot6d_to_rotmat(pose6d.reshape(proxy.shape[0], 24, 6))
         out = smpl_forward(assets_dev, shape, rm[:, 1:], rm[:, 0:1])
         reposed = smpl_forward(assets_dev, shape)
         return out.vertices, out.joints, reposed.vertices, cam
 
-    return jax.jit(forward)
+    jitted = jax.jit(forward)
+    return lambda proxy: jitted(variables, assets_dev, proxy)
 
 
 def throughput(fn, proxy, iters: int, batch: int) -> float:
-    import jax
-    out = fn(proxy)
-    jax.block_until_ready(out)
+    # A small host pull of the final result is the completion barrier:
+    # on the tunneled axon backend block_until_ready can return before the
+    # enqueued chain has executed.
+    _ = np.asarray(fn(proxy)[3])
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(proxy)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[3])
     return batch * iters / (time.perf_counter() - t0)
 
 
