@@ -13,14 +13,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n=10):
+def _host_pull(out):
+    """Completion barrier: pull one small leaf to the host.  On the tunneled
+    axon backend `jax.block_until_ready` can return before enqueued work has
+    executed (see bench.py / CLAUDE.md), so a host materialisation of a real
+    output is the only reliable barrier."""
     import jax
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    return np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
+def timeit(fn, *args, n=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _host_pull(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _host_pull(out)
     return (time.perf_counter() - t0) / n
 
 

@@ -22,11 +22,21 @@ def main(argv=None):
     parser.add_argument("--out-dir", default="predict_out")
     parser.add_argument("--resnet-layers", type=int, default=18)
     parser.add_argument("--smpl-dir", default=None)
+    parser.add_argument("--keypoint-checkpoint", default=None,
+                        help="detectron2 pkl for Keypoint-RCNN")
+    parser.add_argument("--silhouette-checkpoint", default=None,
+                        help="detectron2 pkl for PointRend/DensePose")
+    parser.add_argument("--allow-random-detectors", action="store_true",
+                        help="run detector front-end with RANDOM weights "
+                             "(garbage proxies — smoke/throughput runs only)")
     args = parser.parse_args(argv)
 
     cfg = PredictConfig(input_dir=args.input, checkpoint=args.checkpoint,
                         silhouettes_from=args.silh_from, out_dir=args.out_dir,
-                        smpl_dir=args.smpl_dir)
+                        smpl_dir=args.smpl_dir,
+                        keypoint_checkpoint=args.keypoint_checkpoint,
+                        silhouette_checkpoint=args.silhouette_checkpoint,
+                        allow_random_detectors=args.allow_random_detectors)
     cfg.model.resnet_layers = args.resnet_layers
     out = predict_3d(cfg)
     print(f"predicted {len(out['names'])} images -> {args.out_dir}")

@@ -101,6 +101,11 @@ class TrainConfig:
     data_parallel_devices: int = 0
     # matmul precision for the parity-critical SMPL path
     smpl_precision: Optional[str] = "highest"
+    # 'clean' (centred Gaussian) | 'legacy' (reference-exact linspace grid,
+    # `utils/label_conversions.py:90-127`) — use legacy with converted
+    # reference checkpoints; measured delta at std=4: interior max ~0.15,
+    # border up to 1.0 (legacy's paste is end-exclusive at img_wh-1).
+    heatmap_mode: str = "clean"
     # resolution of the (optional) differentiable silhouette loss
     silhouette_loss_wh: int = 64
 
@@ -114,9 +119,14 @@ class PredictConfig:
     # detectron2-format detector checkpoints (converted on load):
     keypoint_checkpoint: Optional[str] = None
     silhouette_checkpoint: Optional[str] = None
+    # Running the detector front-end without converted checkpoints produces
+    # garbage proxies; it must be opted into explicitly (smoke/throughput
+    # runs only).
+    allow_random_detectors: bool = False
     out_dir: str = "predict_out"
     img_wh: int = 256
     smpl_dir: Optional[str] = None
+    heatmap_mode: str = "clean"        # see TrainConfig.heatmap_mode
     model: ModelConfig = field(default_factory=ModelConfig)
 
 

@@ -62,24 +62,41 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
                             "silhouette_ious"),
                    batch_size: int = 8,
                    save_per_frame: bool = False,
-                   save_path: Optional[str] = None) -> Dict[str, float]:
-    """Evaluate a checkpoint on an SSP-3D/3DPW-style dataset."""
+                   save_path: Optional[str] = None,
+                   gender_assets: Optional[Dict] = None) -> Dict[str, float]:
+    """Evaluate a checkpoint on an SSP-3D/3DPW-style dataset.
+
+    Protocol fidelity vs `metrics/eval_metrics_tracker.py:45-190`:
+      * every sample is evaluated — the final partial batch is padded to the
+        static jit batch size and the padded tail is dropped before tracker
+        aggregation (the reference loops every frame);
+      * ground truth goes through the *per-sample* gendered body model
+        (SSP-3D batches are mixed-gender);
+      * silhouette IoU targets are the dataset's annotated silhouettes in
+        image space when shipped (`eval_metrics_tracker.py:158-178` receives
+        dataset masks); GT meshes are only re-rendered when the dataset has
+        no silhouettes (synthetic-eval mode).
+    """
     assets = load_assets(cfg.smpl_dir)
     # Gendered models when available (SSP-3D protocol); neutral otherwise.
-    gender_assets = {"n": assets}
-    if cfg.smpl_dir is not None:
-        for g, name in (("m", "male"), ("f", "female")):
-            try:
-                gender_assets[g] = load_assets(cfg.smpl_dir, gender=name)
-            except (FileNotFoundError, OSError):
-                pass
+    if gender_assets is None:
+        gender_assets = {}
+        if cfg.smpl_dir is not None:
+            for g, name in (("m", "male"), ("f", "female")):
+                try:
+                    gender_assets[g] = load_assets(cfg.smpl_dir, gender=name)
+                except (FileNotFoundError, OSError):
+                    pass
+    gender_assets = dict(gender_assets)
+    gender_assets.setdefault("n", assets)
 
     model, variables = load_regressor_variables(cfg, assets)
     predict = make_predict_fn(model, variables, assets, cfg.img_wh)
 
     poses = np.asarray(dataset["poses"], np.float32)
     shapes = np.asarray(dataset["shapes"], np.float32)
-    genders = dataset.get("genders", np.asarray(["n"] * len(poses)))
+    genders = np.asarray([str(g).lower()[:1] for g in
+                          dataset.get("genders", ["n"] * len(poses))])
     if "silhouettes" in dataset and "joints2D" in dataset:
         sils = np.asarray(dataset["silhouettes"], np.float32)
         j2d = np.asarray(dataset["joints2D"], np.float32)[:, :, :2]
@@ -87,46 +104,68 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
         sils, j2d = synthesise_proxy_inputs(poses, shapes, assets, cfg.img_wh)
 
     img_wh = cfg.img_wh
-    K = jnp.asarray(get_intrinsics_matrix(img_wh, img_wh,
-                                          5000.0 * img_wh / 256.0))
+    # Pred-silhouette camera: `weak_perspective_to_camera_translation` in the
+    # predict rollout uses focal 5000 at `img_wh`; rendering the prediction
+    # in the silhouette frame (resolution sil_wh) therefore needs
+    # f = 5000 * sil_wh / img_wh for the on-screen extent to match.
+    sil_wh = int(sils.shape[1])
+    K = jnp.asarray(get_intrinsics_matrix(sil_wh, sil_wh,
+                                          5000.0 * sil_wh / img_wh))
     want_iou = "silhouette_ious" in metrics
     tracker = EvalMetricsTracker(list(metrics), img_wh=img_wh,
                                  save_path=save_path,
                                  save_per_frame_metrics=save_per_frame)
 
     n = len(poses)
-    for start in range(0, n - n % batch_size, batch_size):
-        sl = slice(start, start + batch_size)
+    # Pad to full batches with repeats of the last sample (static jit
+    # shapes); padded rows are sliced off before tracker aggregation.
+    idx_all = np.concatenate([np.arange(n),
+                              np.full((-n) % batch_size, n - 1, np.int64)])
+    for start in range(0, len(idx_all), batch_size):
+        idx = idx_all[start:start + batch_size]
+        valid = min(batch_size, n - start)
         proxies, _ = batch_silhouettes_joints_to_proxies(
-            jnp.asarray(sils[sl]), jnp.asarray(j2d[sl]), img_wh)
+            jnp.asarray(sils[idx]), jnp.asarray(j2d[idx]), img_wh,
+            heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
         pred = predict(proxies)
 
-        # Ground truth through the (gendered) body model.
-        g = str(np.asarray(genders[sl])[0]).lower()[:1]
-        ga = gender_assets.get(g, assets)
-        gt = smpl_forward_axis_angle(ga, jnp.asarray(shapes[sl]),
-                                     jnp.asarray(poses[sl]))
-        gt_reposed = smpl_forward(ga, jnp.asarray(shapes[sl]))
-        gt_h36mlsp, _ = select_joint_sets(gt.joints)
+        # Ground truth through the per-sample gendered body model: run the
+        # whole (static-shape) batch under each gender present, then select
+        # rows — at most 3 forwards, shapes stay jit-stable.
+        batch_g = genders[idx]
+        sh_b, po_b = jnp.asarray(shapes[idx]), jnp.asarray(poses[idx])
+        gt_verts = np.zeros((batch_size, assets.v_template.shape[0], 3),
+                            np.float32)
+        gt_joints = np.zeros((batch_size, 90, 3), np.float32)
+        gt_reposed_v = np.zeros_like(gt_verts)
+        for g in sorted(set(batch_g)):
+            ga = gender_assets.get(g, assets)
+            o = smpl_forward_axis_angle(ga, sh_b, po_b)
+            r = smpl_forward(ga, sh_b)
+            m = batch_g == g
+            gt_verts[m] = np.asarray(o.vertices)[m]
+            gt_joints[m] = np.asarray(o.joints)[m]
+            gt_reposed_v[m] = np.asarray(r.vertices)[m]
+
+        gt_h36mlsp, _ = select_joint_sets(jnp.asarray(gt_joints))
         pred_h36mlsp, _ = select_joint_sets(pred["joints3d_all"])
 
         pred_dict = {"verts": pred["verts"], "joints3D": pred_h36mlsp}
-        target_dict = {"verts": gt.vertices, "joints3D": gt_h36mlsp}
+        target_dict = {"verts": jnp.asarray(gt_verts),
+                       "joints3D": gt_h36mlsp}
         if want_iou:
             pred_sil, _ = render_silhouette(
                 pred["verts"], jnp.asarray(pred["cam_t"]), K, assets.faces,
-                img_wh, backend="xla")
-            gt_sil, _ = render_silhouette(
-                gt.vertices, jnp.tile(jnp.asarray([0.0, 0.2, 42.0]),
-                                      (batch_size, 1)), K, ga.faces, img_wh,
-                backend="xla")
+                sil_wh, backend="xla")
             pred_dict["silhouettes"] = pred_sil
-            target_dict["silhouettes"] = gt_sil
+            # Image-space IoU against the dataset silhouettes (annotated
+            # masks when shipped, GT renders in synthetic-eval mode).
+            target_dict["silhouettes"] = jnp.asarray(sils[idx])
 
         pf = compute_per_frame_metrics(
             tuple(metrics), pred_dict, target_dict, img_wh,
             pred_reposed=pred["reposed_verts"],
-            target_reposed=gt_reposed.vertices)
-        tracker.update_per_batch({k: np.asarray(v) for k, v in pf.items()},
-                                 batch_size)
+            target_reposed=jnp.asarray(gt_reposed_v))
+        tracker.update_per_batch(
+            {k: np.asarray(v)[:valid] for k, v in pf.items()}, valid)
     return tracker.compute_final_metrics()

@@ -25,18 +25,33 @@ def convert_densepose_to_6part_lsp_labels(densepose_seg):
 
 
 def joints_to_gaussian_heatmaps(joints2d: jnp.ndarray, img_wh: int,
-                                std: float = 4.0) -> jnp.ndarray:
+                                std: float = 4.0,
+                                mode: str = "clean") -> jnp.ndarray:
     """Batch of 2D joints -> per-joint Gaussian heatmaps.
 
-    Matches the reference convention (`utils/label_conversions.py:90-127`):
-    joints are truncated to ints, the Gaussian has the given std and is
-    truncated at 2*std from the joint centre, and joints whose (rounded)
-    centre lies further than 2*std outside the image produce empty maps.
+    Two modes (both vectorised, both fuse into the jitted step):
+
+    * ``"clean"`` (default): a centred Gaussian truncated at 2*std — the
+      reference convention (`utils/label_conversions.py:90-127`) up to its
+      grid quirks; joints are truncated to ints, and joints whose centre
+      lies further than 2*std outside the image produce empty maps.
+    * ``"legacy"``: bit-exact reproduction of the reference torch path
+      (`utils/label_conversions.py:90-127`), including its quirks: the
+      Gaussian window is sampled on ``linspace(-2std, 2std, 4std)`` (step
+      4std/(4std-1), so sample k sits at a *non-integer* offset), and the
+      paste window is end-exclusive at ``img_wh - 1`` (the last row/column
+      of the image is never written).  Use this when running checkpoints
+      trained by the reference, whose inputs were drawn from this exact
+      distribution.  Measured delta vs 'clean' at std=4: interior joints
+      max-abs ~0.15 / mean-abs ~2e-4; joints on the image border reach 1.0
+      because of the end-exclusive paste
+      (tests/test_geometry.py::test_legacy_vs_clean_delta).
 
     Args:
       joints2d: (B, J, 2) pixel-space joint locations (x, y).
       img_wh: output heatmap side length.
       std: Gaussian standard deviation in pixels.
+      mode: 'clean' | 'legacy'.
     Returns:
       (B, J, img_wh, img_wh) float32 heatmaps.
     """
@@ -45,8 +60,23 @@ def joints_to_gaussian_heatmaps(joints2d: jnp.ndarray, img_wh: int,
     xs = jnp.arange(img_wh, dtype=jnp.float32)
     dx = xs[None, None, :] - centres[..., 0:1]  # (B, J, W)
     dy = xs[None, None, :] - centres[..., 1:2]  # (B, J, H)
-    gx = jnp.exp(-(dx * dx) / (2.0 * std * std)) * (jnp.abs(dx) < size)
-    gy = jnp.exp(-(dy * dy) / (2.0 * std * std)) * (jnp.abs(dy) < size)
+    if mode == "clean":
+        gx = jnp.exp(-(dx * dx) / (2.0 * std * std)) * (jnp.abs(dx) < size)
+        gy = jnp.exp(-(dy * dy) / (2.0 * std * std)) * (jnp.abs(dy) < size)
+    elif mode == "legacy":
+        # Pixel x receives window sample k = x - centre + size, whose grid
+        # value is linspace(-size, size, 2*size)[k] = -size + k*2size/(2size-1).
+        n = 2.0 * size  # number of window samples (16 at std=4)
+        kx = dx + size
+        ky = dy + size
+        gvx = -size + kx * (2.0 * size) / (n - 1.0)
+        gvy = -size + ky * (2.0 * size) / (n - 1.0)
+        in_win_x = (kx >= 0) & (kx < n) & (xs[None, None, :] < img_wh - 1)
+        in_win_y = (ky >= 0) & (ky < n) & (xs[None, None, :] < img_wh - 1)
+        gx = jnp.exp(-(gvx * gvx) / (2.0 * std * std)) * in_win_x
+        gy = jnp.exp(-(gvy * gvy) / (2.0 * std * std)) * in_win_y
+    else:
+        raise ValueError(f"unknown heatmap mode: {mode!r}")
     # In-bounds gate: reference skips joints with any coord <= -size or
     # >= img_wh - 1 + size.
     inb = jnp.all((centres > -size) & (centres < img_wh - 1 + size), axis=-1)

@@ -49,7 +49,8 @@ def compute_per_frame_metrics(metrics: Tuple[str, ...],
         behaviour, `train_loss_and_metrics_tracker.py:204-210`).
     Returns:
       {metric: (B,) per-frame values}; for 'silhouette_ious' additionally
-      'silhouette_tp/fp/fn/tn' scalar counts.
+      'silhouette_tp/fp/fn/tn' per-frame (B,) counts (summed by trackers —
+      per-frame so callers can drop padded tail samples before aggregation).
     """
     out = {}
     if "pves" in metrics:
@@ -97,8 +98,8 @@ def compute_per_frame_metrics(metrics: Tuple[str, ...],
         fn = jnp.sum(~ps & ts, axis=(1, 2)).astype(jnp.float32)
         tn = jnp.sum(~ps & ~ts, axis=(1, 2)).astype(jnp.float32)
         out["silhouette_ious"] = tp / jnp.maximum(tp + fp + fn, 1.0)
-        out["silhouette_tp"] = jnp.sum(tp)
-        out["silhouette_fp"] = jnp.sum(fp)
-        out["silhouette_fn"] = jnp.sum(fn)
-        out["silhouette_tn"] = jnp.sum(tn)
+        out["silhouette_tp"] = tp
+        out["silhouette_fp"] = fp
+        out["silhouette_fn"] = fn
+        out["silhouette_tn"] = tn
     return out

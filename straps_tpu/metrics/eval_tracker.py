@@ -43,7 +43,7 @@ class EvalMetricsTracker:
             if m == "silhouette_ious":
                 for k in ("tp", "fp", "fn", "tn"):
                     self.metric_sums[f"silhouette_{k}"] += float(
-                        per_frame_metrics[f"silhouette_{k}"])
+                        np.sum(per_frame_metrics[f"silhouette_{k}"]))
             else:
                 self.metric_sums[m] += float(np.sum(vals))
 

@@ -52,7 +52,8 @@ def make_predict_fn(model, variables, assets, img_wh: int):
     return lambda proxies: _predict(variables, assets, proxies)
 
 
-def load_cached_proxies(proxy_dir: str, img_wh: int):
+def load_cached_proxies(proxy_dir: str, img_wh: int,
+                        heatmap_mode: str = "clean"):
     """Load cached silhouette/joints npys: `<name>_silhouette.npy` (H, W)
     and `<name>_joints2D.npy` (17, 2) per image; returns (names, proxies)."""
     sil_files = sorted(glob.glob(os.path.join(proxy_dir, "*_silhouette.npy")))
@@ -69,7 +70,8 @@ def load_cached_proxies(proxy_dir: str, img_wh: int):
     sils = load_npy_batch(sil_files, sil_shape)
     joints = load_npy_batch(joint_files, joint_shape)[:, :, :2]
     proxies, _ = batch_silhouettes_joints_to_proxies(
-        jnp.asarray(sils), jnp.asarray(joints), img_wh)
+        jnp.asarray(sils), jnp.asarray(joints), img_wh,
+        heatmap_mode=heatmap_mode)
     return names, proxies
 
 
@@ -129,6 +131,24 @@ def detect_and_build_proxies(cfg: PredictConfig):
     dummy = jnp.zeros((size, size, 3))
     kp_ckpt = getattr(cfg, "keypoint_checkpoint", None)
     silh_ckpt = getattr(cfg, "silhouette_checkpoint", None)
+    if kp_ckpt is None or silh_ckpt is None:
+        missing = [name for name, ck in [("keypoint_checkpoint", kp_ckpt),
+                                         ("silhouette_checkpoint", silh_ckpt)]
+                   if ck is None]
+        if not getattr(cfg, "allow_random_detectors", False):
+            raise ValueError(
+                f"detector checkpoint(s) not configured: {missing}. "
+                "Random-init detectors produce garbage proxies; set "
+                "--allow-random-detectors (allow_random_detectors=True) for "
+                "structure/throughput smoke runs, or provide converted "
+                "detectron2 checkpoints.")
+        import warnings
+        warnings.warn(
+            f"RANDOM-WEIGHT DETECTORS in use ({missing}): proxy "
+            "representations and all downstream SMPL predictions are "
+            "meaningless. For real inference provide detectron2 "
+            "checkpoints via keypoint_checkpoint/silhouette_checkpoint.",
+            UserWarning, stacklevel=2)
     kp_vars = (load_d2_pkl(kp_ckpt) if kp_ckpt
                else kp_model.init(jax.random.PRNGKey(0), dummy))
     silh_vars = (load_d2_pkl(silh_ckpt) if silh_ckpt
@@ -154,7 +174,7 @@ def detect_and_build_proxies(cfg: PredictConfig):
         joints.append(kp[:, :2])
     proxies, _ = batch_silhouettes_joints_to_proxies(
         jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(joints)),
-        cfg.img_wh)
+        cfg.img_wh, heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
     return names, proxies
 
 
@@ -168,7 +188,9 @@ def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarra
     model, variables = load_regressor_variables(cfg, assets)
     if cfg.silhouettes_from == "cached":
         proxy_dir = cfg.proxy_dir or cfg.input_dir
-        names, proxies = load_cached_proxies(proxy_dir, cfg.img_wh)
+        names, proxies = load_cached_proxies(
+            proxy_dir, cfg.img_wh,
+            heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
     else:
         names, proxies = detect_and_build_proxies(cfg)
     predict = make_predict_fn(model, variables, assets, cfg.img_wh)

@@ -21,7 +21,8 @@ from straps_tpu.geometry import crop_and_resize_padded, joints_to_gaussian_heatm
 
 def silhouette_joints_to_proxy(silhouette: jnp.ndarray, joints2d: jnp.ndarray,
                                img_wh: int,
-                               bbox_scale_factor: float = 1.2
+                               bbox_scale_factor: float = 1.2,
+                               heatmap_mode: str = "clean"
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-sample: full-image silhouette + joints -> (H, W, 18) proxy.
 
@@ -30,7 +31,8 @@ def silhouette_joints_to_proxy(silhouette: jnp.ndarray, joints2d: jnp.ndarray,
     sil_c, j_c = crop_and_resize_padded(silhouette, joints2d, img_wh,
                                         scale_factor=bbox_scale_factor)
     sil_c = (sil_c > 0).astype(jnp.float32)
-    hm = joints_to_gaussian_heatmaps(j_c[None], img_wh)[0]   # (17, H, W)
+    hm = joints_to_gaussian_heatmaps(j_c[None], img_wh,
+                                     mode=heatmap_mode)[0]   # (17, H, W)
     proxy = jnp.concatenate([sil_c[..., None],
                              jnp.transpose(hm, (1, 2, 0))], axis=-1)
     return proxy, j_c
@@ -38,12 +40,14 @@ def silhouette_joints_to_proxy(silhouette: jnp.ndarray, joints2d: jnp.ndarray,
 
 def batch_silhouettes_joints_to_proxies(silhouettes: jnp.ndarray,
                                         joints2d: jnp.ndarray, img_wh: int,
-                                        bbox_scale_factor: float = 1.2
+                                        bbox_scale_factor: float = 1.2,
+                                        heatmap_mode: str = "clean"
                                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H0, W0) silhouettes + (B, 17, 2) joints -> (B, H, W, 18) proxies."""
     return jax.vmap(
         lambda s, j: silhouette_joints_to_proxy(s, j, img_wh,
-                                                bbox_scale_factor)
+                                                bbox_scale_factor,
+                                                heatmap_mode)
     )(silhouettes, joints2d)
 
 

@@ -50,11 +50,12 @@ def select_joint_sets(joints_all: jnp.ndarray
 
 
 def build_proxy(seg: jnp.ndarray, joints2d: jnp.ndarray,
-                img_wh: int) -> jnp.ndarray:
+                img_wh: int, heatmap_mode: str = "clean") -> jnp.ndarray:
     """Binary silhouette + 17 joint heatmaps -> (B, H, W, 18) NHWC proxy
     (the reference stacks NCHW, `train_synthetic_otf_rendering.py:178-182`)."""
     sil = (seg > 0).astype(jnp.float32)[..., None]
-    hm = joints_to_gaussian_heatmaps(joints2d, img_wh)     # (B, 17, H, W)
+    hm = joints_to_gaussian_heatmaps(joints2d, img_wh,
+                                     mode=heatmap_mode)    # (B, 17, H, W)
     return jnp.concatenate([sil, jnp.transpose(hm, (0, 2, 3, 1))], axis=-1)
 
 
@@ -138,7 +139,8 @@ def generate_synthetic_batch(key, pose: jnp.ndarray, shape: jnp.ndarray,
         parts, joints2d_input = augment_proxy_representation(
             keys[5], parts, joints2d, proxy_aug_params)
 
-    proxy = build_proxy(parts, joints2d_input, img_wh)
+    proxy = build_proxy(parts, joints2d_input, img_wh,
+                        heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
     vis = check_joints2d_visibility(joints2d, img_wh)
     pose_rotmats = jnp.concatenate([tgt_glob_rm, tgt_pose_rm], axis=1)
     return SyntheticBatch(
