@@ -1,0 +1,211 @@
+"""Rasteriser kernel design-space round 2 — measure candidate variants on
+the real TPU and print a table (extends docs/KERNEL_NOTES.md; winner gets
+ported into straps_tpu/render/pallas_raster.py).
+
+Variants over the committed chunk=128 / 8-row-unroll kernel:
+  base        committed round-1 kernel (library import)
+  minedge     coverage via min(e0,e1,e2) >= 0  (3 ops instead of 5)
+  batched     assemble (rows, W) zmin/amin, single masked ref update
+  rows16/32   taller strips (amortise per-chunk fixed work; coarser culling)
+  bf16z       depth plane in bfloat16 (z recentred per image so bf16
+              resolution ~0.008 units; edges stay f32)
+
+Usage: python benchmarks/raster_variants.py [batch] [variant ...]
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACE_CHUNK = 128
+
+
+def make_kernel(img_w, num_chunks, rows, chunk, minedge=False,
+                batched=False, zdtype="float32"):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(bounds_ref, planes_ref, fid_ref, z_ref):
+        rb = pl.program_id(1)
+        y0 = rb * rows
+        xs = jax.lax.broadcasted_iota(jnp.int32, (1, img_w), 1).astype(
+            jnp.float32) + 0.5
+        big = jnp.float32(3.4e38)
+        zbig = jnp.asarray(big, zdtype) if zdtype == "float32" else \
+            jnp.asarray(3.0e38, jnp.bfloat16)
+        fid_ref[0] = jnp.full((rows, img_w), -1, jnp.int32)
+        z_ref[0] = jnp.full((rows, img_w), zbig, z_ref.dtype)
+
+        def chunk_body(c, _):
+            lo = bounds_ref[0, c, 0]
+            hi = bounds_ref[0, c, 1]
+
+            @pl.when((lo < y0 + rows) & (hi > y0))
+            def _():
+                blk = planes_ref[0, pl.ds(c * chunk, chunk), :]
+                e0x, e0y, e0c = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+                e1x, e1y, e1c = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+                e2x, e2y, e2c = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+                zx, zy, zc = blk[:, 9:10], blk[:, 10:11], blk[:, 11:12]
+                e0xx = e0x * xs
+                e1xx = e1x * xs
+                e2xx = e2x * xs
+                if zdtype == "bfloat16":
+                    zxx = (zx * xs).astype(jnp.bfloat16)
+                else:
+                    zxx = zx * xs
+                row_z, row_f = [], []
+                for r in range(rows):
+                    y = (y0 + r).astype(jnp.float32) + 0.5
+                    e0 = e0xx + (e0y * y + e0c)
+                    e1 = e1xx + (e1y * y + e1c)
+                    e2 = e2xx + (e2y * y + e2c)
+                    if minedge:
+                        cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
+                    else:
+                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                    if zdtype == "bfloat16":
+                        zval = zxx + (zy * y + zc).astype(jnp.bfloat16)
+                    else:
+                        zval = zxx + (zy * y + zc)
+                    zed = jnp.where(cov, zval, zbig)
+                    zmin = jnp.min(zed, axis=0, keepdims=True)
+                    amin = jnp.argmin(zed, axis=0).astype(jnp.int32)[None, :]
+                    if batched:
+                        row_z.append(zmin)
+                        row_f.append(amin + c * chunk)
+                    else:
+                        better = zmin < z_ref[0, r:r + 1, :]
+                        z_ref[0, r:r + 1, :] = jnp.where(
+                            better, zmin, z_ref[0, r:r + 1, :])
+                        fid_ref[0, r:r + 1, :] = jnp.where(
+                            better, amin + c * chunk, fid_ref[0, r:r + 1, :])
+                if batched:
+                    zblk = jnp.concatenate(row_z, axis=0)      # (rows, W)
+                    fblk = jnp.concatenate(row_f, axis=0)
+                    better = zblk < z_ref[0]
+                    z_ref[0] = jnp.where(better, zblk, z_ref[0])
+                    fid_ref[0] = jnp.where(better, fblk, fid_ref[0])
+
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+    return kernel
+
+
+def build_variant(planes, bounds, img_h, img_w, rows=8, minedge=False,
+                  batched=False, zdtype="float32"):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, F = planes.shape[0], planes.shape[1]
+    pad = (-F) % FACE_CHUNK
+    if pad:
+        kill = jnp.zeros((B, pad, 4, 3), planes.dtype)
+        kill = kill.at[:, :, :3, 2].set(-1.0)
+        planes = jnp.concatenate([planes, kill], axis=1)
+    Fp = planes.shape[1]
+    num_chunks = Fp // FACE_CHUNK
+    flat = planes.reshape(B, Fp, 12)
+    grid = (B, img_h // rows)
+    kernel = make_kernel(img_w, num_chunks, rows, FACE_CHUNK,
+                         minedge=minedge, batched=batched, zdtype=zdtype)
+    zj = jnp.float32 if zdtype == "float32" else jnp.bfloat16
+
+    @jax.jit
+    def run(bounds, flat):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, num_chunks, 2), lambda b, rb: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Fp, 12), lambda b, rb: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, rows, img_w), lambda b, rb: (b, rb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, img_w), lambda b, rb: (b, rb, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, img_h, img_w), jnp.int32),
+                jax.ShapeDtypeStruct((B, img_h, img_w), zj),
+            ),
+        )(bounds, flat)
+
+    return run, bounds, flat
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 140
+    only = set(sys.argv[2:])
+    import jax
+    import jax.numpy as jnp
+    from straps_tpu.geometry import get_intrinsics_matrix
+    from straps_tpu.render.raster import (
+        prepare_face_planes, face_chunk_row_bounds,
+    )
+    from straps_tpu.render.pallas_raster import rasterize_pallas
+    from straps_tpu.smpl import load_synthetic_assets, smpl_forward
+
+    assets = load_synthetic_assets()
+    rng = np.random.RandomState(0)
+    shape = jnp.asarray(rng.randn(batch, 10).astype(np.float32) * 0.5)
+    verts = smpl_forward(assets, shape).vertices
+    cam_t = jnp.tile(jnp.asarray([[0.0, 0.2, 42.0]]), (batch, 1))
+    K = jnp.asarray(get_intrinsics_matrix(256, 256, 5000.0))
+    planes = prepare_face_planes(verts, cam_t, K, assets.faces)
+    bounds = face_chunk_row_bounds(planes, FACE_CHUNK, 256)
+
+    def timeit(fn, *args, n=20):
+        out = fn(*args)
+        _ = np.asarray(out[0][:1, :1, :1])   # host-pull barrier
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _ = np.asarray(out[0][:1, :1, :1])
+        return (time.perf_counter() - t0) / n * 1e3
+
+    # Reference output for correctness.
+    ref_fid, ref_z = rasterize_pallas(planes, bounds, 256, 256)
+    ref_fid = np.asarray(ref_fid)
+    t = timeit(lambda p, b: rasterize_pallas(p, b, 256, 256), planes, bounds)
+    print(f"{'base (committed)':28s} {t:7.1f} ms")
+
+    variants = {
+        "minedge": dict(minedge=True),
+        "batched": dict(batched=True),
+        "minedge+batched": dict(minedge=True, batched=True),
+        "rows16": dict(rows=16),
+        "rows32": dict(rows=32),
+        "minedge+rows16": dict(minedge=True, rows=16),
+        "bf16z": dict(zdtype="bfloat16"),
+        "minedge+bf16z+rows16": dict(minedge=True, zdtype="bfloat16",
+                                     rows=16),
+    }
+    for name, kw in variants.items():
+        if only and name not in only:
+            continue
+        try:
+            run, b_, f_ = build_variant(planes, bounds, 256, 256, **kw)
+            fid, z = run(b_, f_)
+            agree = float((np.asarray(fid) == ref_fid).mean())
+            t = timeit(run, b_, f_)
+            print(f"{name:28s} {t:7.1f} ms   fid agreement {agree:.5f}")
+        except Exception as e:  # noqa
+            print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,14 +53,21 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     expansion: int = 4
     dtype: Any = None        # computation dtype (params stay float32)
+    # detectron2's MSRA/caffe2 ResNets (RESNETS.STRIDE_IN_1X1=True, used by
+    # all the reference's detector checkpoints) stride in conv1; the
+    # torchvision-style regressor encoder (reference models/resnet.py)
+    # strides in conv2.
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="conv1")(x)
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s2 = 1 if self.stride_in_1x1 else self.stride
+        out = nn.Conv(self.planes, (1, 1), strides=(s1, s1), use_bias=False,
+                      dtype=self.dtype, name="conv1")(x)
         out = nn.relu(_bn(train, "bn1", self.dtype)(out))
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+        out = nn.Conv(self.planes, (3, 3), strides=(s2, s2),
                       padding=1, use_bias=False, dtype=self.dtype,
                       name="conv2")(out)
         out = nn.relu(_bn(train, "bn2", self.dtype)(out))
@@ -91,6 +98,8 @@ class ResNetEncoder(nn.Module):
     # Computation dtype (e.g. jnp.bfloat16 for MXU-rate convs); parameters
     # and the returned pooled features stay float32.
     dtype: Any = None
+    # Stride placement for Bottleneck blocks (see Bottleneck.stride_in_1x1).
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -109,9 +118,12 @@ class ResNetEncoder(nn.Module):
                 s = stride if b == 0 else 1
                 needs_ds = (b == 0) and (
                     s != 1 or in_planes != planes * self.block.expansion)
+                kwargs = ({"stride_in_1x1": self.stride_in_1x1}
+                          if self.block is Bottleneck else {})
                 x = self.block(planes=planes, stride=s, downsample=needs_ds,
                                dtype=self.dtype,
-                               name=f"layer{stage + 1}_{b}")(x, train=train)
+                               name=f"layer{stage + 1}_{b}", **kwargs)(
+                    x, train=train)
                 in_planes = planes * self.block.expansion
             stages[f"res{stage + 2}"] = x
             planes *= 2

@@ -17,6 +17,19 @@ import numpy as np
 # detectron2 ResNet block name -> our flax scope pieces.
 _SHORTCUT = {"shortcut": ("downsample_conv", "downsample_bn")}
 
+# torch ConvTranspose2d weights are (in, out, kh, kw) and flax ConvTranspose
+# applies the kernel un-flipped -> needs transpose(2, 3, 0, 1) + spatial flip
+# (verified numerically against torch F.conv_transpose2d, k4/s2/p1 == SAME).
+_DECONV_NAMES = {"score_lowres", "ann_index_lowres", "index_uv_lowres",
+                 "u_lowres", "v_lowres"}
+# FCs applied to torch-flattened (C, H, W) conv features: our NHWC flatten is
+# (H, W, C), so the input dimension must be permuted CHW -> HWC.  Values are
+# the spatial side of the flattened map (channel count is inferred).
+_FLATTEN_FC_SIDE = {("trunk", "box_head", "fc1"): 7,
+                    ("coarse_head", "coarse_mask_fc1"): 7}
+# PointRend's point head runs 1x1 conv1d layers (out, in, 1) == Dense.
+_CONV1D_SCOPES = {"point_head"}
+
 
 def _set_in(tree: dict, path: Tuple[str, ...], value: np.ndarray):
     node = tree
@@ -35,16 +48,35 @@ def _convert_weight(path, v, params, batch_stats, is_bn: bool, leaf: str):
             _set_in(batch_stats, path + ("mean",), v)
         elif leaf == "running_var":
             _set_in(batch_stats, path + ("var",), v)
+        return
+    if leaf == "bias":
+        _set_in(params, path + ("bias",), v)
+        return
+    if leaf != "weight":
+        return
+    if path[-1] in _DECONV_NAMES and v.ndim == 4:
+        # (in, out, kh, kw) -> (kh, kw, in, out), spatially flipped.
+        _set_in(params, path + ("kernel",),
+                np.ascontiguousarray(v.transpose(2, 3, 0, 1)[::-1, ::-1]))
+    elif v.ndim == 4:
+        _set_in(params, path + ("kernel",), v.transpose(2, 3, 1, 0))
+    elif v.ndim == 3 and path[0] in _CONV1D_SCOPES:
+        # conv1d (out, in, 1) == linear.
+        _set_in(params, path + ("kernel",), v[:, :, 0].T)
+    elif v.ndim == 2:
+        side = _FLATTEN_FC_SIDE.get(path[-3:] if len(path) >= 3 else path)
+        if side is None:
+            side = _FLATTEN_FC_SIDE.get(path[-2:])
+        if side is not None:
+            out_dim, in_flat = v.shape
+            C = in_flat // (side * side)
+            w = v.reshape(out_dim, C, side, side).transpose(0, 2, 3, 1)
+            _set_in(params, path + ("kernel",),
+                    w.reshape(out_dim, in_flat).T)
+        else:
+            _set_in(params, path + ("kernel",), v.T)
     else:
-        if leaf == "weight":
-            if v.ndim == 4:
-                _set_in(params, path + ("kernel",), v.transpose(2, 3, 1, 0))
-            elif v.ndim == 2:
-                _set_in(params, path + ("kernel",), v.T)
-            else:
-                _set_in(params, path + ("scale",), v)
-        elif leaf == "bias":
-            _set_in(params, path + ("bias",), v)
+        _set_in(params, path + ("scale",), v)
 
 
 def _map_backbone(rest, trunk_scope):

@@ -51,8 +51,11 @@ class ResNet50FPN(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
         layers = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        # All reference detector checkpoints are MSRA/caffe2-style
+        # (RESNETS.STRIDE_IN_1X1=True): stride lives on conv1.
         stages = ResNetEncoder(block=Bottleneck, layers=layers,
-                               return_stages=True, name="bottom_up")(
+                               return_stages=True, stride_in_1x1=True,
+                               name="bottom_up")(
             images, train=train)
         return FPN(out_channels=self.out_channels, name="fpn")(stages)
 

@@ -68,13 +68,28 @@ def make_apply_fn(model, variables):
     return lambda img: jitted(variables, img)
 
 
+def _resize_for_test(image_rgb: np.ndarray, test_size) -> np.ndarray:
+    """detectron2 DefaultPredictor preprocessing: ResizeShortestEdge to
+    INPUT.MIN_SIZE_TEST (800) before the network — the reference feeds a
+    square image, so this is a plain square resize (bilinear; d2 uses PIL
+    bilinear, cv2 INTER_LINEAR is the close host-side equivalent)."""
+    if not test_size or image_rgb.shape[0] == test_size:
+        return image_rgb
+    import cv2
+    return cv2.resize(np.asarray(image_rgb), (test_size, test_size),
+                      interpolation=cv2.INTER_LINEAR)
+
+
 def predict_joints2d(image_rgb: np.ndarray, model, variables,
-                     apply_fn=None) -> Tuple[np.ndarray, np.ndarray]:
+                     apply_fn=None,
+                     test_size=None) -> Tuple[np.ndarray, np.ndarray]:
     """Image -> (17, 3) keypoints [x, y, score] of the selected person
-    (reference `predict_joints2D` contract: zeros if nobody found)."""
+    (reference `predict_joints2D` contract: zeros if nobody found).
+    When `test_size` is set the network runs at that resolution and the
+    model's `output_size` maps outputs back to the input frame."""
     from straps_tpu.perception.rcnn import normalise_image
     h, w = image_rgb.shape[:2]
-    inp = jnp.asarray(normalise_image(image_rgb))
+    inp = jnp.asarray(normalise_image(_resize_for_test(image_rgb, test_size)))
     if apply_fn is None:
         apply_fn = make_apply_fn(model, variables)
     out = apply_fn(inp)
@@ -88,12 +103,12 @@ def predict_joints2d(image_rgb: np.ndarray, model, variables,
 
 
 def predict_silhouette(image_rgb: np.ndarray, model, variables,
-                       apply_fn=None) -> np.ndarray:
+                       apply_fn=None, test_size=None) -> np.ndarray:
     """Image -> (H, W) binary silhouette of the selected person (PointRend or
     DensePose model; both expose 'masks')."""
     from straps_tpu.perception.rcnn import normalise_image
     h, w = image_rgb.shape[:2]
-    inp = jnp.asarray(normalise_image(image_rgb))
+    inp = jnp.asarray(normalise_image(_resize_for_test(image_rgb, test_size)))
     if apply_fn is None:
         apply_fn = make_apply_fn(model, variables)
     out = apply_fn(inp)

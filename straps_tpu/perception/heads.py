@@ -73,9 +73,16 @@ class KeypointHead(nn.Module):
         return x                                          # (R, 56, 56, 17)
 
 
-def keypoint_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def keypoint_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray,
+                    upsample: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Heatmap argmax -> image-space keypoints.
+
+    detectron2's `heatmaps_to_keypoints` resizes each (56, 56) heatmap to the
+    exact ROI size with bicubic interpolation before the argmax (sub-pixel
+    precision); ROI size is dynamic, so here the heatmap is upsampled by a
+    STATIC `upsample` factor (bicubic, half-pixel centres) instead —
+    quantisation error <= box_side / (2 * 56 * upsample), ~1px at a 500px box
+    with the default 4x.
 
     Args:
       heatmaps: (R, S, S, K); boxes: (R, 4) xyxy.
@@ -83,15 +90,20 @@ def keypoint_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray
       (R, K, 2) xy coords, (R, K) scores.
     """
     R, S, _, K = heatmaps.shape
-    flat = heatmaps.reshape(R, S * S, K)
+    U = S * upsample
+    if upsample > 1:
+        maps = jax.image.resize(heatmaps, (R, U, U, K), method="cubic")
+    else:
+        maps = heatmaps
+    flat = maps.reshape(R, U * U, K)
     idx = jnp.argmax(flat, axis=1)                       # (R, K)
     scores = jnp.max(flat, axis=1)
-    py = (idx // S).astype(jnp.float32)
-    px = (idx % S).astype(jnp.float32)
+    py = (idx // U).astype(jnp.float32)
+    px = (idx % U).astype(jnp.float32)
     w = (boxes[:, 2] - boxes[:, 0])[:, None]
     h = (boxes[:, 3] - boxes[:, 1])[:, None]
-    x = boxes[:, 0:1] + (px + 0.5) * w / S
-    y = boxes[:, 1:2] + (py + 0.5) * h / S
+    x = boxes[:, 0:1] + (px + 0.5) * w / U
+    y = boxes[:, 1:2] + (py + 0.5) * h / U
     return jnp.stack([x, y], axis=-1), scores
 
 

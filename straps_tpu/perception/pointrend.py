@@ -22,34 +22,45 @@ SUBDIVISION_POINTS = 28 * 28
 class CoarseMaskHead(nn.Module):
     """14x14 ROI features -> 7x7 coarse mask logits
     (`PointRend/point_rend/coarse_mask_head.py:11-90` architecture:
-    1x1 channel-reduce conv, 2x2 s2 spatial-reduce conv, 2 FCs, prediction)."""
+    optional 1x1 channel-reduce conv — only created when in_channels >
+    conv_dim, absent for the FPN-256ch PointRend checkpoints — 2x2 s2
+    spatial-reduce conv, 2 FCs named `coarse_mask_fc*` like the d2 state
+    dict, class-specific prediction).  The COCO PointRend checkpoint is
+    80-class; person is class 0."""
     conv_dim: int = 256
     fc_dim: int = 1024
-    num_classes: int = 1
+    num_classes: int = 80
     output_side: int = 7
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray) -> jnp.ndarray:
         R = roi_feats.shape[0]
-        x = nn.relu(nn.Conv(self.conv_dim, (1, 1),
-                            name="reduce_channel_dim_conv")(roi_feats))
+        x = roi_feats
+        if roi_feats.shape[-1] > self.conv_dim:
+            x = nn.relu(nn.Conv(self.conv_dim, (1, 1),
+                                name="reduce_channel_dim_conv")(x))
         x = nn.relu(nn.Conv(self.conv_dim, (2, 2), strides=(2, 2),
+                            padding="VALID",
                             name="reduce_spatial_dim_conv")(x))
+        # d2 flattens (C, H, W); NHWC flattens (H, W, C) — the checkpoint
+        # converter permutes coarse_mask_fc1's input dim to match.
         x = x.reshape(R, -1)
-        x = nn.relu(nn.Dense(self.fc_dim, name="fc1")(x))
-        x = nn.relu(nn.Dense(self.fc_dim, name="fc2")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="coarse_mask_fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="coarse_mask_fc2")(x))
         x = nn.Dense(self.num_classes * self.output_side ** 2,
                      name="prediction")(x)
-        return x.reshape(R, self.output_side, self.output_side,
-                         self.num_classes)
+        # torch views (R, K, S, S) row-major -> NHWC.
+        x = x.reshape(R, self.num_classes, self.output_side, self.output_side)
+        return jnp.transpose(x, (0, 2, 3, 1))
 
 
 class PointHead(nn.Module):
     """MLP on per-point (fine features ++ coarse logits), coarse re-concat at
-    every layer (`PointRend/point_rend/point_head.py:96-146`)."""
+    every layer (`PointRend/point_rend/point_head.py:96-146`).  In d2 the
+    layers are 1x1 conv1d; the converter folds them to Dense kernels."""
     fc_dim: int = 256
     num_layers: int = 3
-    num_classes: int = 1
+    num_classes: int = 80
 
     @nn.compact
     def __call__(self, fine: jnp.ndarray, coarse: jnp.ndarray) -> jnp.ndarray:
@@ -176,7 +187,8 @@ def mask_point_loss(point_logits: jnp.ndarray, gt_masks01: jnp.ndarray,
 def paste_mask(mask_logits: jnp.ndarray, box: jnp.ndarray, img_h: int,
                img_w: int, threshold: float = 0.5) -> jnp.ndarray:
     """Paste one (S, S) mask into the full image at `box` (bilinear), then
-    threshold — detectron2's paste_masks_in_image equivalent."""
+    threshold — detectron2's paste_masks_in_image equivalent (sigmoid is
+    applied BEFORE interpolation, like mask_rcnn_inference + grid_sample)."""
     S = mask_logits.shape[0]
     ys = jnp.arange(img_h, dtype=jnp.float32) + 0.5
     xs = jnp.arange(img_w, dtype=jnp.float32) + 0.5
@@ -185,7 +197,7 @@ def paste_mask(mask_logits: jnp.ndarray, box: jnp.ndarray, img_h: int,
     px = u * S - 0.5
     py = jnp.broadcast_to(v * S - 0.5, (img_h, img_w))
     px = jnp.broadcast_to(px, (img_h, img_w))
-    vals = bilinear_sample(mask_logits[..., None], px, py)[..., 0]
+    probs01 = jax.nn.sigmoid(mask_logits)
+    vals = bilinear_sample(probs01[..., None], px, py)[..., 0]
     inside = (u >= 0) & (u < 1) & ((v >= 0) & (v < 1))
-    probs = jax.nn.sigmoid(vals) * inside
-    return (probs > threshold).astype(jnp.float32)
+    return ((vals * inside) > threshold).astype(jnp.float32)

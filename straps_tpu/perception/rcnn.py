@@ -21,6 +21,7 @@ from straps_tpu.perception.heads import (
     BoxHead, KeypointHead, box_inference, keypoint_decode,
     pooled_box_features,
 )
+from straps_tpu.perception.ops import roi_align
 from straps_tpu.perception.pointrend import (
     CoarseMaskHead, PointHead, subdivision_inference, paste_mask,
 )
@@ -33,8 +34,17 @@ from straps_tpu.perception.rpn import RPNHead, generate_proposals
 PIXEL_MEAN = np.asarray([103.53, 116.28, 123.675], np.float32)
 PIXEL_STD = np.asarray([1.0, 1.0, 1.0], np.float32)
 
-# The reference resizes inputs to 512 before its detectors (predict_3D.py:106).
+# The reference resizes inputs to 512 before its detectors
+# (predict_3D.py:106); detectron2's DefaultPredictor then resizes the
+# shortest edge to 800 (INPUT.MIN_SIZE_TEST) before the network and maps
+# outputs back.  The front-end therefore runs the nets at
+# DETECTOR_TEST_SIZE and returns outputs in the DEFAULT_IMAGE_SIZE frame
+# (module attribute `output_size`).
 DEFAULT_IMAGE_SIZE = 512
+DETECTOR_TEST_SIZE = 800
+# Deviations from detectron2 defaults (documented in PARITY.md): d2 keeps
+# 1000 post-NMS proposals and up to 100 detections; STRAPS consumes exactly
+# one largest-centred person, so smaller static sizes are used on TPU.
 MAX_DETECTIONS = 8
 POST_NMS_TOPK = 512
 
@@ -48,6 +58,7 @@ class DetectionTrunk(nn.Module):
     post_nms_topk: int = POST_NMS_TOPK
     max_detections: int = MAX_DETECTIONS
     backbone_depth: int = 50
+    num_classes: int = 1
 
     @nn.compact
     def __call__(self, image: jnp.ndarray):
@@ -65,7 +76,8 @@ class DetectionTrunk(nn.Module):
             logits, deltas, anchors, img_size,
             post_nms_topk=self.post_nms_topk)
         roi = pooled_box_features(feats, proposals, 7)
-        scores, box_deltas = BoxHead(name="box_head")(roi)
+        scores, box_deltas = BoxHead(num_classes=self.num_classes,
+                                     name="box_head")(roi)
         det_boxes, det_scores, det_valid = box_inference(
             scores, box_deltas, proposals, p_valid, img_size,
             max_detections=self.max_detections)
@@ -73,10 +85,13 @@ class DetectionTrunk(nn.Module):
 
 
 class KeypointRCNN(nn.Module):
+    """Person detection + 17 COCO keypoints (reference Keypoint-RCNN-R50-FPN
+    front-end, `predict/predict_joints2D.py`).  `output_size` > 0 rescales
+    boxes/keypoints into that frame (detectron2's detector_postprocess when
+    the predictor ran at MIN_SIZE_TEST=800 on a smaller input)."""
     post_nms_topk: int = POST_NMS_TOPK
     max_detections: int = MAX_DETECTIONS
-    """Person detection + 17 COCO keypoints (reference Keypoint-RCNN-R50-FPN
-    front-end, `predict/predict_joints2D.py`)."""
+    output_size: int = 0
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -85,31 +100,46 @@ class KeypointRCNN(nn.Module):
             max_detections=self.max_detections, name="trunk")(image)
         kp_roi = pooled_box_features(feats, boxes, 14)
         heatmaps = KeypointHead(name="keypoint_head")(kp_roi)
-        keypoints, kp_scores = keypoint_decode(heatmaps, boxes)
-        return {"boxes": boxes, "scores": scores, "valid": valid,
+        scale = (self.output_size / image.shape[0]) if self.output_size else 1.0
+        out_boxes = boxes * scale
+        keypoints, kp_scores = keypoint_decode(heatmaps, out_boxes)
+        return {"boxes": out_boxes, "scores": scores, "valid": valid,
                 "keypoints": keypoints, "keypoint_scores": kp_scores}
 
 
 class PointRendRCNN(nn.Module):
+    """Person detection + PointRend instance masks (reference
+    PointRend-R50-FPN front-end, `predict/predict_silhouette_pointrend.py`).
+    The COCO PointRend checkpoint is 80-class (person = class 0); coarse
+    mask features are point-sampled p2 on a regular 14x14 box grid —
+    `PointRend/point_rend/roi_heads.py:134-150` with
+    ROI_MASK_HEAD.IN_FEATURES=["p2"], equivalent to single-sample ROIAlign
+    on p2 only (no FPN level assignment for masks)."""
     post_nms_topk: int = POST_NMS_TOPK
     max_detections: int = MAX_DETECTIONS
-    """Person detection + PointRend instance masks (reference
-    PointRend-R50-FPN front-end, `predict/predict_silhouette_pointrend.py`)."""
+    num_classes: int = 80
+    output_size: int = 0
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats, boxes, scores, valid = DetectionTrunk(
             post_nms_topk=self.post_nms_topk,
-            max_detections=self.max_detections, name="trunk")(image)
-        mask_roi = pooled_box_features(feats, boxes, 14)
-        coarse = CoarseMaskHead(name="coarse_head")(mask_roi)
-        point_head = PointHead(name="point_head")
+            max_detections=self.max_detections,
+            num_classes=self.num_classes, name="trunk")(image)
+        mask_roi = roi_align(feats[0], boxes, 1.0 / FPN_STRIDES[0], 14,
+                             sampling_ratio=1)
+        coarse = CoarseMaskHead(num_classes=self.num_classes,
+                                name="coarse_head")(mask_roi)
+        point_head = PointHead(num_classes=self.num_classes,
+                               name="point_head")
         refined = subdivision_inference(point_head, coarse, feats[0], boxes)
-        img_size = image.shape[0]
+        out_size = self.output_size or image.shape[0]
+        scale = out_size / image.shape[0]
+        out_boxes = boxes * scale
         masks = jax.vmap(
-            lambda m, b: paste_mask(m[..., 0], b, img_size, img_size)
-        )(refined, boxes)
-        return {"boxes": boxes, "scores": scores, "valid": valid,
+            lambda m, b: paste_mask(m[..., 0], b, out_size, out_size)
+        )(refined, out_boxes)
+        return {"boxes": out_boxes, "scores": scores, "valid": valid,
                 "masks": masks}
 
 
@@ -119,6 +149,7 @@ class DensePoseRCNN(nn.Module):
     post_nms_topk: int = POST_NMS_TOPK
     max_detections: int = MAX_DETECTIONS
     backbone_depth: int = 101
+    output_size: int = 0
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -131,11 +162,13 @@ class DensePoseRCNN(nn.Module):
         s, i, u, v = DensePosePredictor(name="densepose_predictor")(x)
         part, u_sel, v_sel = densepose_to_iuv(s, i, u, v)
         # Binary person masks by pasting part>0 into the image frame.
-        img_size = image.shape[0]
+        out_size = self.output_size or image.shape[0]
+        scale = out_size / image.shape[0]
+        out_boxes = boxes * scale
         masks = jax.vmap(
-            lambda m, b: paste_mask(m, b, img_size, img_size)
-        )((part > 0).astype(jnp.float32) * 12.0 - 6.0, boxes)
-        return {"boxes": boxes, "scores": scores, "valid": valid,
+            lambda m, b: paste_mask(m, b, out_size, out_size)
+        )((part > 0).astype(jnp.float32) * 12.0 - 6.0, out_boxes)
+        return {"boxes": out_boxes, "scores": scores, "valid": valid,
                 "masks": masks, "part_index": part, "u": u_sel, "v": v_sel}
 
 

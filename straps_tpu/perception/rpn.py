@@ -49,7 +49,7 @@ def generate_proposals(logits: List[jnp.ndarray], deltas: List[jnp.ndarray],
       (post_nms_topk, 4) proposal boxes, (post_nms_topk,) scores,
       (post_nms_topk,) bool validity.
     """
-    cand_boxes, cand_scores = [], []
+    cand_boxes, cand_scores, cand_levels = [], [], []
     for lvl, (lg, dl, anch) in enumerate(zip(logits, deltas,
                                              anchors_per_level)):
         A = lg.shape[-1]
@@ -61,13 +61,19 @@ def generate_proposals(logits: List[jnp.ndarray], deltas: List[jnp.ndarray],
         boxes = clip_boxes(boxes, img_size, img_size)
         cand_boxes.append(boxes)
         cand_scores.append(top_scores)
+        cand_levels.append(jnp.full((k,), lvl, jnp.float32))
     all_boxes = jnp.concatenate(cand_boxes, axis=0)
     all_scores = jnp.concatenate(cand_scores, axis=0)
+    all_levels = jnp.concatenate(cand_levels, axis=0)
     # Degenerate boxes are invalid.
     valid = ((all_boxes[:, 2] > all_boxes[:, 0]) &
              (all_boxes[:, 3] > all_boxes[:, 1]))
     all_scores = jnp.where(valid, all_scores, -jnp.inf)
-    keep_idx, keep_valid = nms_fixed(all_boxes, all_scores, nms_thresh,
-                                     post_nms_topk)
+    # detectron2 NMS-es each FPN level independently (batched_nms keyed by
+    # level), then keeps the global top-k by score; offsetting each level's
+    # boxes to a disjoint coordinate range makes one static NMS equivalent.
+    offset = all_levels[:, None] * (2.0 * img_size + 2.0)
+    keep_idx, keep_valid = nms_fixed(all_boxes + offset, all_scores,
+                                     nms_thresh, post_nms_topk)
     safe = jnp.maximum(keep_idx, 0)
     return all_boxes[safe], all_scores[safe], keep_valid

@@ -118,17 +118,21 @@ def detect_and_build_proxies(cfg: PredictConfig):
     from straps_tpu.perception import (
         KeypointRCNN, PointRendRCNN, DensePoseRCNN, load_d2_pkl,
         predict_joints2d, predict_silhouette, DEFAULT_IMAGE_SIZE,
+        DETECTOR_TEST_SIZE,
     )
     from straps_tpu.perception.frontend import make_apply_fn
     from straps_tpu.geometry.bbox import pad_to_square_params
 
-    kp_model = KeypointRCNN()
-    if cfg.silhouettes_from == "pointrend":
-        silh_model = PointRendRCNN()
-    else:
-        silh_model = DensePoseRCNN()
+    # Networks run at detectron2's MIN_SIZE_TEST resolution and map outputs
+    # back to the reference's 512 working frame (`predict_3D.py:106`).
     size = DEFAULT_IMAGE_SIZE
-    dummy = jnp.zeros((size, size, 3))
+    test_size = DETECTOR_TEST_SIZE
+    kp_model = KeypointRCNN(output_size=size)
+    if cfg.silhouettes_from == "pointrend":
+        silh_model = PointRendRCNN(output_size=size)
+    else:
+        silh_model = DensePoseRCNN(output_size=size)
+    dummy = jnp.zeros((test_size, test_size, 3))
     kp_ckpt = getattr(cfg, "keypoint_checkpoint", None)
     silh_ckpt = getattr(cfg, "silhouette_checkpoint", None)
     if kp_ckpt is None or silh_ckpt is None:
@@ -167,8 +171,10 @@ def detect_and_build_proxies(cfg: PredictConfig):
         top, left = pad_to_square_params(h, w)
         img = np.pad(img, ((top, top), (left, left), (0, 0)))
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
-        kp = predict_joints2d(img, kp_model, kp_vars, apply_fn=kp_fn)[0]
-        sil = predict_silhouette(img, silh_model, silh_vars, apply_fn=silh_fn)
+        kp = predict_joints2d(img, kp_model, kp_vars, apply_fn=kp_fn,
+                              test_size=test_size)[0]
+        sil = predict_silhouette(img, silh_model, silh_vars,
+                                 apply_fn=silh_fn, test_size=test_size)
         names.append(os.path.splitext(os.path.basename(path))[0])
         sils.append(sil)
         joints.append(kp[:, :2])
@@ -176,6 +182,25 @@ def detect_and_build_proxies(cfg: PredictConfig):
         jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(joints)),
         cfg.img_wh, heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
     return names, proxies
+
+
+def _load_input_image(input_dir: str, name: str):
+    """Find `<name>.png|.jpg` in `input_dir`, pad to square + bring to the
+    reference's 512 working frame (like `predict_3D.py:102-106`); None when
+    absent (cached-proxy-only runs have no images)."""
+    for ext in (".png", ".jpg", ".jpeg"):
+        path = os.path.join(input_dir, name + ext)
+        if os.path.exists(path):
+            import cv2
+            from straps_tpu.geometry.bbox import pad_to_square_params
+            img = cv2.imread(path)
+            if img is None:
+                return None
+            img = img[:, :, ::-1]
+            h, w = img.shape[:2]
+            top, left = pad_to_square_params(h, w)
+            return np.pad(img, ((top, top), (left, left), (0, 0)))
+    return None
 
 
 def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarray]:
@@ -219,8 +244,12 @@ def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarra
         for i, name in enumerate(names):
             scatter_vis(out_np["verts"][i],
                         os.path.join(cfg.out_dir, "verts_vis", f"{name}.png"))
+            # Mesh-overlay compositing over the input RGB when the source
+            # image exists (`weak_perspective_pyrender_renderer.py:104-118`);
+            # standalone render otherwise (cached-proxy-only runs).
+            image = _load_input_image(cfg.input_dir, name)
             rend = render_body_vis(out_np["verts"][i], out_np["cam_wp"][i],
-                                   assets, img_wh=cfg.img_wh)
+                                   assets, img_wh=cfg.img_wh, image=image)
             plt.imsave(os.path.join(cfg.out_dir, "rend_vis", f"{name}.png"),
                        rend)
             proxy_vis(np.asarray(proxies[i]),

@@ -61,10 +61,20 @@ def render_body_vis(verts: np.ndarray, cam_wp: np.ndarray, assets,
     color = PART_COLORS[parts_np] * shade[..., None]
     fg = parts_np > 0
     if image is not None:
+        # Mesh-overlay compositing: the rendered body REPLACES the input
+        # pixels where the depth buffer is valid, like the reference
+        # (`weak_perspective_pyrender_renderer.py:104-118`:
+        # rend_img * valid_mask + (1 - valid_mask) * img).
         base = np.asarray(image, np.float32)
         if base.max() > 1.5:
             base = base / 255.0
-        out = np.where(fg[..., None], 0.4 * base + 0.6 * color, base)
+        if base.ndim == 2:
+            base = np.repeat(base[..., None], 3, axis=-1)
+        if base.shape[:2] != (img_wh, img_wh):
+            import cv2
+            base = cv2.resize(base, (img_wh, img_wh),
+                              interpolation=cv2.INTER_LINEAR)
+        out = np.where(fg[..., None], color, base)
     else:
         out = np.where(fg[..., None], color, 1.0)
     return (np.clip(out, 0, 1) * 255).astype(np.uint8)

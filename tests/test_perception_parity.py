@@ -1,0 +1,278 @@
+"""Numerical parity of the JAX perception stack vs a generative torch twin
+of detectron2 (tests/torch_twin_d2.py), exercised through the REAL
+checkpoint path: the twin's state_dict (exact detectron2 names) is exported
+through `straps_tpu.perception.convert_d2.convert_d2_state` and every stage
+is compared on identical inputs — this is the oracle VERDICT r1 asked for
+(`predict/predict_3D.py:35-64` accuracy lives entirely in these numerics).
+
+Stage tests feed both implementations the SAME inputs (tight tolerances);
+the end-to-end test runs both full models on the same image (loose
+tolerances — NMS near-threshold ties may reorder tail detections).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from torch_twin_d2 import (  # noqa: E402
+    D2KeypointRCNNTwin, D2PointRendRCNNTwin, randomize_bn_stats,
+    twin_state_to_d2, d2_multilevel_roi_align, d2_box_inference,
+    d2_subdivision, d2_paste_mask, regular_grid_points,
+    sample_fine_and_coarse,
+)
+
+from straps_tpu.perception import KeypointRCNN, PointRendRCNN, convert_d2_state  # noqa: E402
+from straps_tpu.perception.fpn import ResNet50FPN  # noqa: E402
+from straps_tpu.perception.rpn import RPNHead, generate_proposals  # noqa: E402
+from straps_tpu.perception.anchors import fpn_anchors  # noqa: E402
+from straps_tpu.perception.heads import (  # noqa: E402
+    BoxHead, KeypointHead, box_inference, pooled_box_features,
+)
+from straps_tpu.perception.ops import multilevel_roi_align, roi_align  # noqa: E402
+from straps_tpu.perception.pointrend import (  # noqa: E402
+    CoarseMaskHead, PointHead, subdivision_inference, paste_mask,
+)
+
+IMG = 128
+TOPK = 64
+DETS = 4
+
+
+def _to_nhwc(t):
+    return np.asarray(t.detach()).transpose(0, 2, 3, 1)
+
+
+@pytest.fixture(scope="module")
+def kp_setup():
+    torch.manual_seed(0)
+    twin = D2KeypointRCNNTwin()
+    randomize_bn_stats(twin, seed=1)
+    twin.eval()
+    variables = convert_d2_state(twin_state_to_d2(twin))
+    image = np.random.RandomState(0).uniform(
+        -120, 130, (IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        tout = twin(torch.from_numpy(image), post_nms_topk=TOPK,
+                    max_detections=DETS)
+    return twin, variables, image, tout
+
+
+class TestTrunkParity:
+    def test_backbone_fpn_features(self, kp_setup):
+        _, variables, image, tout = kp_setup
+        bb_vars = {"params": variables["params"]["trunk"]["backbone"],
+                   "batch_stats": variables["batch_stats"]["trunk"]["backbone"]}
+        feats = ResNet50FPN(depth=50).apply(bb_vars,
+                                            jnp.asarray(image)[None])
+        for lvl, (j, t) in enumerate(zip(feats, tout["feats"])):
+            jf = np.asarray(j[0])
+            tf = _to_nhwc(t)[0]
+            scale = np.abs(tf).max() + 1e-6
+            np.testing.assert_allclose(jf, tf, atol=2e-3 * scale,
+                                       err_msg=f"P{lvl + 2}")
+
+    def test_rpn_and_proposals(self, kp_setup):
+        _, variables, image, tout = kp_setup
+        # RPN head on the TWIN's features (isolates the head + proposal
+        # selection from backbone accumulation error).
+        tfeats = [jnp.asarray(_to_nhwc(f)[0]) for f in tout["feats"]]
+        rpn_vars = {"params": variables["params"]["trunk"]["rpn_head"]}
+        logits, deltas = RPNHead().apply(rpn_vars, tfeats)
+        for lg, tl in zip(logits, tout["rpn_logits"]):
+            np.testing.assert_allclose(np.asarray(lg), _to_nhwc(tl)[0],
+                                       atol=1e-4, rtol=1e-4)
+        for dl, td in zip(deltas, tout["rpn_deltas"]):
+            # d2 layout (A*4, H, W) with per-anchor groups of 4.
+            np.testing.assert_allclose(np.asarray(dl), _to_nhwc(td)[0],
+                                       atol=1e-4, rtol=1e-4)
+
+        anchors_np = fpn_anchors(IMG, (4, 8, 16, 32, 64))
+        props, scores, valid = generate_proposals(
+            logits, deltas, anchors_np, IMG, post_nms_topk=TOPK)
+        props = np.asarray(props)[np.asarray(valid)]
+        tprops = np.asarray(tout["proposals"].detach())[:len(props)]
+        n = min(len(props), len(tprops))
+        assert n >= 8  # enough survivors to be a meaningful comparison
+        np.testing.assert_allclose(props[:n], tprops[:n], atol=2e-2)
+
+    def test_roi_align_multilevel(self, kp_setup):
+        _, _, image, tout = kp_setup
+        boxes = np.asarray([[4.5, 7.25, 60.0, 90.5],
+                            [0.0, 0.0, 127.0, 127.0],
+                            [30.2, 40.9, 33.7, 55.1],
+                            [100.0, 90.0, 128.0, 128.0]], np.float32)
+        tfeats4 = [f for f in tout["feats"][:4]]
+        tpooled = d2_multilevel_roi_align(tfeats4, torch.from_numpy(boxes),
+                                          (4, 8, 16, 32), 7)
+        jfeats4 = [jnp.asarray(_to_nhwc(f)[0]) for f in tfeats4]
+        jpooled = multilevel_roi_align(jfeats4, jnp.asarray(boxes),
+                                       (4, 8, 16, 32), 7)
+        np.testing.assert_allclose(np.asarray(jpooled), _to_nhwc(tpooled),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_box_head_and_inference(self, kp_setup):
+        twin, variables, image, tout = kp_setup
+        proposals = tout["proposals"].detach()
+        roi_t = d2_multilevel_roi_align(tout["feats"][:4], proposals,
+                                        (4, 8, 16, 32), 7)
+        with torch.no_grad():
+            feats_fc = twin.roi_heads.box_head(roi_t)
+            cls = twin.roi_heads.box_predictor.cls_score(feats_fc)
+            bbx = twin.roi_heads.box_predictor.bbox_pred(feats_fc)
+        # Flax box head on the SAME pooled features (torch layout -> NHWC).
+        bh_vars = {"params": variables["params"]["trunk"]["box_head"]}
+        j_scores, j_deltas = BoxHead(num_classes=1).apply(
+            bh_vars, jnp.asarray(_to_nhwc(roi_t)))
+        np.testing.assert_allclose(np.asarray(j_scores), cls.numpy(),
+                                   atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(j_deltas), bbx.numpy(),
+                                   atol=5e-4, rtol=1e-3)
+
+        # Detection post-processing on the SAME scores/deltas/proposals.
+        tboxes, tscores = d2_box_inference(cls, bbx, proposals, IMG,
+                                           topk=DETS)
+        jboxes, jscores, jvalid = box_inference(
+            jnp.asarray(cls.numpy()), jnp.asarray(bbx.numpy()),
+            jnp.asarray(proposals.numpy()),
+            jnp.ones(len(proposals), bool), IMG, max_detections=DETS)
+        jb = np.asarray(jboxes)[np.asarray(jvalid)]
+        n = min(len(jb), len(tboxes))
+        assert n >= 1
+        np.testing.assert_allclose(jb[:n], tboxes.numpy()[:n], atol=2e-2)
+
+    def test_keypoint_head(self, kp_setup):
+        twin, variables, image, tout = kp_setup
+        boxes = tout["boxes"].detach()
+        if len(boxes) == 0:
+            pytest.skip("no detections from random weights")
+        kp_roi_t = d2_multilevel_roi_align(tout["feats"][:4], boxes,
+                                           (4, 8, 16, 32), 14)
+        with torch.no_grad():
+            theat = twin.roi_heads.keypoint_head(kp_roi_t)
+        kh_vars = {"params": variables["params"]["keypoint_head"]}
+        jheat = KeypointHead().apply(kh_vars, jnp.asarray(_to_nhwc(kp_roi_t)))
+        np.testing.assert_allclose(np.asarray(jheat), _to_nhwc(theat),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_end_to_end_keypoint_rcnn(self, kp_setup):
+        twin, variables, image, tout = kp_setup
+        model = KeypointRCNN(post_nms_topk=TOPK, max_detections=DETS)
+        out = model.apply(variables, jnp.asarray(image))
+        valid = np.asarray(out["valid"])
+        assert valid.any() == (len(tout["boxes"]) > 0)
+        if not valid.any():
+            return
+        jb = np.asarray(out["boxes"])[valid][0]
+        tb = tout["boxes"].numpy()[0]
+        # Top detection agrees to sub-pixel.
+        np.testing.assert_allclose(jb, tb, atol=0.1)
+        # Its keypoints agree within the static-upsample quantisation
+        # (d2 decodes on the exact ROI grid; ours on a 4x static grid).
+        jkp = np.asarray(out["keypoints"])[valid][0]
+        w = tb[2] - tb[0]
+        h = tb[3] - tb[1]
+        theat = tout["heatmaps"][0].numpy()          # (17, 56, 56)
+        # decode twin heatmaps on the static grid rule for comparability
+        from straps_tpu.perception.heads import keypoint_decode
+        tkp, _ = keypoint_decode(
+            jnp.asarray(theat.transpose(1, 2, 0))[None],
+            jnp.asarray(tb)[None])
+        tol = max(w, h) / 56.0 + 0.5
+        assert np.abs(jkp - np.asarray(tkp)[0]).max() < tol
+
+
+@pytest.fixture(scope="module")
+def pr_setup():
+    torch.manual_seed(3)
+    twin = D2PointRendRCNNTwin(num_classes=80)
+    randomize_bn_stats(twin, seed=4)
+    twin.eval()
+    variables = convert_d2_state(twin_state_to_d2(twin))
+    image = np.random.RandomState(5).uniform(
+        -120, 130, (IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        # score_thresh=0 guarantees boxes for the stage tests (random-init
+        # weights rarely clear 0.05); the end-to-end test re-runs at the
+        # real threshold.
+        tout = twin(torch.from_numpy(image), post_nms_topk=TOPK,
+                    max_detections=2, score_thresh=0.0)
+    return twin, variables, image, tout
+
+
+class TestPointRendParity:
+    def test_coarse_and_subdivision(self, pr_setup):
+        twin, variables, image, tout = pr_setup
+        boxes_t = tout["boxes"].detach()
+        if len(boxes_t) == 0:
+            pytest.skip("no detections from random weights")
+        p2_t = tout["feats"][0]
+        p2_j = jnp.asarray(_to_nhwc(p2_t)[0])
+        boxes_j = jnp.asarray(boxes_t.numpy())
+
+        # Coarse head on the SAME regular-grid point-sampled p2 features.
+        R = len(boxes_t)
+        grid = regular_grid_points(R, 14)
+        fine_t, _ = sample_fine_and_coarse(
+            p2_t, torch.zeros(R, 1, 7, 7), boxes_t, grid)
+        with torch.no_grad():
+            coarse_t = twin.roi_heads.mask_coarse_head(
+                fine_t.view(R, -1, 14, 14))
+        # flax coarse path: single-sample ROIAlign on p2 == the regular grid.
+        mask_roi = roi_align(p2_j, boxes_j, 0.25, 14, sampling_ratio=1)
+        np.testing.assert_allclose(
+            np.asarray(mask_roi),
+            _to_nhwc(fine_t.view(R, -1, 14, 14)), atol=1e-4, rtol=1e-4,
+            err_msg="regular-grid point sample != single-sample ROIAlign")
+        ch_vars = {"params": variables["params"]["coarse_head"]}
+        coarse_j = CoarseMaskHead(num_classes=80).apply(ch_vars, mask_roi)
+        np.testing.assert_allclose(np.asarray(coarse_j), _to_nhwc(coarse_t),
+                                   atol=5e-4, rtol=1e-3)
+
+        # Subdivision refinement on the SAME coarse logits.
+        ph_vars = {"params": variables["params"]["point_head"]}
+        point_head = PointHead(num_classes=80)
+
+        def ph_apply(fine, coarse):
+            return point_head.apply(ph_vars, fine, coarse)
+
+        refined_j = subdivision_inference(
+            ph_apply, jnp.asarray(_to_nhwc(coarse_t)), p2_j, boxes_j)
+        with torch.no_grad():
+            refined_t = d2_subdivision(twin.roi_heads.mask_point_head,
+                                       coarse_t, p2_t, boxes_t)
+        rj = np.asarray(refined_j)
+        rt = _to_nhwc(refined_t)
+        # The top-k uncertain point SETS can differ at near-ties; demand
+        # near-total agreement of the refined person-channel grid.
+        close = np.isclose(rj[..., 0], rt[..., 0], atol=5e-3, rtol=1e-2)
+        assert close.mean() > 0.995, f"refined grid agreement {close.mean()}"
+
+        # Pasting on the SAME refined logits -> binary masks nearly equal.
+        mt = torch.stack([
+            d2_paste_mask(refined_t[i, 0], boxes_t[i], IMG)
+            for i in range(R)]).numpy()
+        mj = np.asarray(jax.vmap(
+            lambda m, b: paste_mask(m[..., 0], b, IMG, IMG)
+        )(jnp.asarray(rt), boxes_j))
+        assert (mj == mt).mean() > 0.998
+
+    def test_end_to_end_masks(self, pr_setup):
+        twin, variables, image, tout = pr_setup
+        with torch.no_grad():
+            tout_e2e = twin(torch.from_numpy(image), post_nms_topk=TOPK,
+                            max_detections=2)   # real 0.05 threshold
+        model = PointRendRCNN(post_nms_topk=TOPK, max_detections=2,
+                              num_classes=80)
+        out = model.apply(variables, jnp.asarray(image))
+        valid = np.asarray(out["valid"])
+        assert valid.any() == (len(tout_e2e["boxes"]) > 0)
+        if not valid.any():
+            return
+        np.testing.assert_allclose(np.asarray(out["boxes"])[valid][0],
+                                   tout_e2e["boxes"].numpy()[0], atol=0.1)
+        mj = np.asarray(out["masks"])[valid][0]
+        mt = tout_e2e["masks"].numpy()[0]
+        assert (mj == mt).mean() > 0.99

@@ -35,8 +35,21 @@ class TestVis:
                               np.asarray([0.9, 0.0, 0.0], np.float32),
                               assets, img_wh=128, image=base)
         assert img.shape == (128, 128, 3)
-        # background pixels keep the base value
+        # background pixels keep the base value EXACTLY (reference overlay
+        # is a hard replace, weak_perspective_pyrender_renderer.py:104-118)
         assert (img[0, 0] == 128).all()
+        # and body pixels replace the base (some pixel differs from 128)
+        assert (img != 128).any()
+
+    def test_render_body_vis_overlay_resizes_base(self):
+        # base image at a different resolution than the render frame
+        assets = load_synthetic_assets()
+        base = np.full((64, 64, 3), 200, np.uint8)
+        img = render_body_vis(np.asarray(assets.v_template),
+                              np.asarray([0.9, 0.0, 0.0], np.float32),
+                              assets, img_wh=128, image=base)
+        assert img.shape == (128, 128, 3)
+        assert (img[0, 0] == 200).all()
 
     def test_scatter_and_proxy_vis(self, tmp_path):
         assets = load_synthetic_assets()
