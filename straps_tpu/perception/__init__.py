@@ -13,6 +13,10 @@ from straps_tpu.perception.frontend import (
     predict_joints2d, predict_silhouette, make_apply_fn,
 )
 from straps_tpu.perception.convert_d2 import convert_d2_state, load_d2_pkl
+from straps_tpu.perception.densepose_structures import (
+    DensePoseDataRelative, DensePoseTransformData, load_transform_data,
+    rle_decode, rle_encode,
+)
 
 __all__ = [
     "KeypointRCNN", "PointRendRCNN", "DensePoseRCNN", "DetectionTrunk",
@@ -20,4 +24,6 @@ __all__ = [
     "get_largest_centred_box_index", "get_largest_centred_mask_index",
     "predict_joints2d", "predict_silhouette", "make_apply_fn",
     "convert_d2_state", "load_d2_pkl",
+    "DensePoseDataRelative", "DensePoseTransformData", "load_transform_data",
+    "rle_decode", "rle_encode",
 ]
