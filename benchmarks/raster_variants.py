@@ -154,7 +154,7 @@ def main():
     import jax.numpy as jnp
     from straps_tpu.geometry import get_intrinsics_matrix
     from straps_tpu.render.raster import (
-        prepare_face_planes, face_chunk_row_bounds,
+        project_to_screen, prepare_face_planes, face_chunk_row_bounds,
     )
     from straps_tpu.render.pallas_raster import rasterize_pallas
     from straps_tpu.smpl import load_synthetic_assets, smpl_forward
@@ -165,8 +165,9 @@ def main():
     verts = smpl_forward(assets, shape).vertices
     cam_t = jnp.tile(jnp.asarray([[0.0, 0.2, 42.0]]), (batch, 1))
     K = jnp.asarray(get_intrinsics_matrix(256, 256, 5000.0))
-    planes = prepare_face_planes(verts, cam_t, K, assets.faces)
-    bounds = face_chunk_row_bounds(planes, FACE_CHUNK, 256)
+    screen, z = project_to_screen(verts, cam_t, K)
+    planes = prepare_face_planes(screen, z, assets.faces).planes
+    bounds = face_chunk_row_bounds(screen, assets.faces, FACE_CHUNK, 256)
 
     def timeit(fn, *args, n=20):
         out = fn(*args)

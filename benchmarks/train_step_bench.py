@@ -4,7 +4,9 @@ on-the-fly-rendered training).
 Measures the fully fused jitted step (augment -> SMPL -> Pallas render ->
 crop -> degrade -> heatmaps -> fwd/bwd -> Adam) at the reference batch size.
 
-Usage: python benchmarks/train_step_bench.py [batch_size] [steps]
+Usage: python benchmarks/train_step_bench.py [batch_size] [steps] [dtype]
+  dtype: optional 'bfloat16' runs the encoder convs (fwd+bwd) in bf16 with
+  f32 master weights (model.compute_dtype); SMPL stays f32/highest.
 """
 
 import os
@@ -19,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 140
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    dtype = sys.argv[3] if len(sys.argv) > 3 else None
 
     import jax
     import jax.numpy as jnp
@@ -29,6 +32,8 @@ def main():
 
     cfg = TrainConfig()
     cfg.batch_size = batch
+    if dtype:
+        cfg.model.compute_dtype = dtype
     assets = load_synthetic_assets()
     model, assets, state, tx, train_step, val_step, mesh = build_training(
         cfg, assets)
@@ -38,21 +43,23 @@ def main():
     state = replicate(state, mesh)
     b = shard_batch({"pose": pose, "shape": shape}, mesh)
 
+    # Host pulls (float(loss)) are the completion barrier: on the tunneled
+    # backend block_until_ready can return before enqueued work executes.
     t0 = time.perf_counter()
     state, loss, task_losses, per_frame = train_step(
         state, jax.random.PRNGKey(0), b["pose"], b["shape"])
-    jax.block_until_ready(loss)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(loss):.4f}")
+          f"loss={float(loss):.4f} (dtype={dtype or 'float32'})")
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, loss, task_losses, per_frame = train_step(
             state, jax.random.PRNGKey(i + 1), b["pose"], b["shape"])
-    jax.block_until_ready(loss)
+    final_loss = float(loss)
     dt = (time.perf_counter() - t0) / steps
     print(f"steady train step: {dt * 1e3:.1f} ms  "
-          f"({batch / dt:.0f} samples/s, batch={batch})")
+          f"({batch / dt:.0f} samples/s, batch={batch}, "
+          f"final loss {final_loss:.4f})")
     print(f"epoch estimate for 91k AMASS samples: {91000 / (batch / dt):.0f}s")
 
 

@@ -33,7 +33,14 @@ ROWS_PER_BLOCK = 8
 
 
 def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
-                   img_w: int, num_chunks: int, rows: int, chunk: int):
+                   img_w: int, num_chunks: int, rows: int, chunk: int,
+                   with_attr: bool):
+    """with_attr=False: planes cols 0..11, first output = face-id map.
+    with_attr=True: planes col 12 carries a per-face attribute (body-part
+    id); first output = attribute map.  Folding the attribute lookup into
+    the min-reduction (exact one-hot contraction on the argmin) replaces
+    the post-kernel XLA gather at (B, H, W), which measured as expensive as
+    the whole rasterisation (67 ms vs 65 ms at B=140)."""
     rb = pl.program_id(1)
     y0 = rb * rows
 
@@ -42,7 +49,7 @@ def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
         jnp.float32) + 0.5
 
     big = jnp.float32(3.4e38)
-    fid_ref[0] = jnp.full((rows, img_w), -1, jnp.int32)
+    fid_ref[0] = jnp.full((rows, img_w), 0 if with_attr else -1, jnp.int32)
     z_ref[0] = jnp.full((rows, img_w), big, jnp.float32)
 
     def chunk_body(c, _):
@@ -51,29 +58,46 @@ def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
 
         @pl.when((lo < y0 + rows) & (hi > y0))
         def _():
-            blk = planes_ref[0, pl.ds(c * chunk, chunk), :]   # (C, 12)
+            blk = planes_ref[0, pl.ds(c * chunk, chunk), :]   # (C, 12|16)
             e0x, e0y, e0c = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
             e1x, e1y, e1c = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
             e2x, e2y, e2c = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
             zx, zy, zc = blk[:, 9:10], blk[:, 10:11], blk[:, 11:12]
+            if with_attr:
+                attr_col = blk[:, 12:13].astype(jnp.int32)     # (C, 1)
+                iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, img_w),
+                                                  0)
             e0xx = e0x * xs                                    # (C, W)
             e1xx = e1x * xs
             e2xx = e2x * xs
             zxx = zx * xs
+            row_z, row_f = [], []
             for r in range(rows):                              # static unroll
                 y = (y0 + r).astype(jnp.float32) + 0.5
-                cov = ((e0xx + (e0y * y + e0c) >= 0)
-                       & (e1xx + (e1y * y + e1c) >= 0)
-                       & (e2xx + (e2y * y + e2c) >= 0))        # (C, W)
+                # Coverage via min-of-edges (one compare instead of three
+                # compares + two ands — measured win, KERNEL_NOTES round 2).
+                e0 = e0xx + (e0y * y + e0c)
+                e1 = e1xx + (e1y * y + e1c)
+                e2 = e2xx + (e2y * y + e2c)
+                cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0   # (C, W)
                 zval = zxx + (zy * y + zc)
                 zed = jnp.where(cov, zval, big)
-                zmin = jnp.min(zed, axis=0, keepdims=True)     # (1, W)
+                row_z.append(jnp.min(zed, axis=0, keepdims=True))  # (1, W)
                 amin = jnp.argmin(zed, axis=0).astype(jnp.int32)[None, :]
-                better = zmin < z_ref[0, r:r + 1, :]
-                z_ref[0, r:r + 1, :] = jnp.where(better, zmin,
-                                                 z_ref[0, r:r + 1, :])
-                fid_ref[0, r:r + 1, :] = jnp.where(
-                    better, amin + c * chunk, fid_ref[0, r:r + 1, :])
+                if with_attr:
+                    onehot = iota_c == amin                     # (C, W)
+                    row_f.append(jnp.sum(
+                        jnp.where(onehot, attr_col, 0), axis=0,
+                        keepdims=True))
+                else:
+                    row_f.append(amin + c * chunk)
+            # One (rows, W) masked update per chunk instead of `rows`
+            # separate single-sublane read-modify-writes.
+            zblk = jnp.concatenate(row_z, axis=0)
+            fblk = jnp.concatenate(row_f, axis=0)
+            better = zblk < z_ref[0]
+            z_ref[0] = jnp.where(better, zblk, z_ref[0])
+            fid_ref[0] = jnp.where(better, fblk, fid_ref[0])
 
         return 0
 
@@ -83,8 +107,10 @@ def _raster_kernel(bounds_ref, planes_ref, fid_ref, z_ref, *,
 @functools.partial(jax.jit, static_argnames=("img_h", "img_w", "interpret"))
 def rasterize_pallas(planes: jnp.ndarray, bounds: jnp.ndarray,
                      img_h: int, img_w: int,
-                     interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rasterise plane-form faces to (face_id, depth) maps.
+                     interpret: bool = False,
+                     face_attr: jnp.ndarray = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rasterise plane-form faces to (face_id | attribute, depth) maps.
 
     Args:
       planes: (B, F, 4, 3) from `prepare_face_planes`; F padded internally.
@@ -92,8 +118,14 @@ def rasterize_pallas(planes: jnp.ndarray, bounds: jnp.ndarray,
         `face_chunk_row_bounds*` with chunk=FACE_CHUNK.
       img_h, img_w: output size (img_w should be a multiple of 128).
       interpret: run in Pallas interpreter mode (for CPU tests).
+      face_attr: optional (F,) int32 per-face attribute (e.g. body-part id,
+        background = 0).  When given, the first output is the attribute map
+        — the lookup runs inside the kernel's min-reduction, avoiding a
+        post-kernel XLA gather that measured as expensive as rasterisation
+        itself (67 ms at B=140 256²).
     Returns:
-      face_id (B, H, W) int32 (-1 = background), depth (B, H, W) f32.
+      face_id (B, H, W) int32 (-1 = background) — or the attribute map when
+      `face_attr` is given (0 = background) — and depth (B, H, W) f32.
     """
     B, F = planes.shape[0], planes.shape[1]
     pad = (-F) % FACE_CHUNK
@@ -105,18 +137,30 @@ def rasterize_pallas(planes: jnp.ndarray, bounds: jnp.ndarray,
     num_chunks = Fp // FACE_CHUNK
     assert bounds.shape[1] == num_chunks, (bounds.shape, num_chunks)
     flat = planes.reshape(B, Fp, 12)
+    with_attr = face_attr is not None
+    cols = 12
+    if with_attr:
+        # Attribute rides as a 13th plane column (padded to 16 lanes; the
+        # VMEM tile pads the lane dim anyway, so the extra columns are free
+        # on-chip).
+        attr = jnp.zeros((Fp,), jnp.float32).at[:F].set(
+            face_attr.astype(jnp.float32))
+        attr = jnp.broadcast_to(attr[None, :, None], (B, Fp, 1))
+        zeros = jnp.zeros((B, Fp, 3), planes.dtype)
+        flat = jnp.concatenate([flat, attr, zeros], axis=-1)
+        cols = 16
 
     grid = (B, img_h // ROWS_PER_BLOCK)
     kernel = functools.partial(_raster_kernel, img_w=img_w,
                                num_chunks=num_chunks, rows=ROWS_PER_BLOCK,
-                               chunk=FACE_CHUNK)
+                               chunk=FACE_CHUNK, with_attr=with_attr)
     fid, z = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, num_chunks, 2), lambda b, rb: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Fp, 12), lambda b, rb: (b, 0, 0),
+            pl.BlockSpec((1, Fp, cols), lambda b, rb: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

@@ -46,9 +46,13 @@ def render_part_seg(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
         # further but jnp.argsort at this shape faults the axon v5e runtime;
         # `sort_faces_by_ymin` is kept for future use.
         bounds = face_chunk_row_bounds(screen, faces, FACE_CHUNK, img_wh)
-        fid, depth = rasterize_pallas(planes, bounds, img_wh, img_wh,
-                                      interpret=interpret)
-        return face_ids_to_parts(fid, face_parts), depth
+        # Body-part lookup happens INSIDE the kernel (face_attr): the
+        # post-kernel XLA gather at (B, H, W) measured 67 ms at B=140 —
+        # as much as the rasterisation itself.
+        parts, depth = rasterize_pallas(planes, bounds, img_wh, img_wh,
+                                        interpret=interpret,
+                                        face_attr=face_parts)
+        return parts, depth
     elif backend == "xla":
         fid, depth = rasterize_xla(planes, img_wh, img_wh)
     else:
