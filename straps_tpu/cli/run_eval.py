@@ -25,10 +25,15 @@ def main(argv=None):
     parser.add_argument("--smpl-dir", default=None)
     parser.add_argument("--save-per-frame", default=None,
                         help="dir for per-frame metric npy dumps")
+    parser.add_argument("--heatmap-mode", default="clean",
+                        choices=["clean", "legacy"],
+                        help="'legacy' = reference-exact grid, for "
+                             "converted reference checkpoints")
     args = parser.parse_args(argv)
 
     cfg = PredictConfig(checkpoint=args.checkpoint, img_wh=args.img_wh,
-                        smpl_dir=args.smpl_dir)
+                        smpl_dir=args.smpl_dir,
+                        heatmap_mode=args.heatmap_mode)
     dataset = load_eval_npz(args.dataset)
     final = run_evaluation(dataset, cfg, metrics=tuple(args.metrics),
                            batch_size=args.batch_size,

@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--allow-random-detectors", action="store_true",
                         help="run detector front-end with RANDOM weights "
                              "(garbage proxies — smoke/throughput runs only)")
+    parser.add_argument("--heatmap-mode", default="clean",
+                        choices=["clean", "legacy"],
+                        help="'legacy' = reference-exact grid, for "
+                             "converted reference checkpoints")
     args = parser.parse_args(argv)
 
     cfg = PredictConfig(input_dir=args.input, checkpoint=args.checkpoint,
@@ -36,7 +40,8 @@ def main(argv=None):
                         smpl_dir=args.smpl_dir,
                         keypoint_checkpoint=args.keypoint_checkpoint,
                         silhouette_checkpoint=args.silhouette_checkpoint,
-                        allow_random_detectors=args.allow_random_detectors)
+                        allow_random_detectors=args.allow_random_detectors,
+                        heatmap_mode=args.heatmap_mode)
     cfg.model.resnet_layers = args.resnet_layers
     out = predict_3d(cfg)
     print(f"predicted {len(out['names'])} images -> {args.out_dir}")
