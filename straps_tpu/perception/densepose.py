@@ -77,15 +77,85 @@ class ASPP(nn.Module):
             nn.Conv(self.out_dim, (1, 1), name="project")(cat)))
 
 
+class NonLocalBlock2D(nn.Module):
+    """Self-attention over spatial positions (the DeepLab head's optional
+    NonLocal block, `DensePose/densepose/densepose_head.py:150-268`):
+    theta/phi/g 1x1 projections, softmax(theta.phi^T).g, output projection
+    (+GroupNorm) with a residual.  `sub_sample` maxpools phi/g 2x like the
+    reference.  Batched matmuls land on the MXU."""
+    in_channels: int = 512
+    inter_channels: int = 256
+    sub_sample: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        R, H, W, C = x.shape
+        theta = nn.Conv(self.inter_channels, (1, 1), name="theta")(x)
+        phi = nn.Conv(self.inter_channels, (1, 1), name="phi")(x)
+        g = nn.Conv(self.inter_channels, (1, 1), name="g")(x)
+        if self.sub_sample:
+            phi = nn.max_pool(phi, (2, 2), strides=(2, 2))
+            g = nn.max_pool(g, (2, 2), strides=(2, 2))
+        q = theta.reshape(R, H * W, self.inter_channels)
+        k = phi.reshape(R, -1, self.inter_channels)
+        v = g.reshape(R, -1, self.inter_channels)
+        attn = jax.nn.softmax(jnp.einsum("rqc,rkc->rqk", q, k), axis=-1)
+        y = jnp.einsum("rqk,rkc->rqc", attn, v).reshape(
+            R, H, W, self.inter_channels)
+        w_y = nn.GroupNorm(num_groups=32)(
+            nn.Conv(self.in_channels, (1, 1), name="W")(y))
+        return x + w_y
+
+
+def densepose_data_filter(proposal_boxes: jnp.ndarray,
+                          gt_boxes: jnp.ndarray,
+                          has_densepose: jnp.ndarray,
+                          valid: jnp.ndarray,
+                          iou_threshold: float = 0.7) -> jnp.ndarray:
+    """Static-shape `DensePoseDataFilter` (`densepose_head.py:348-385`):
+    keep proposals whose matched-GT IoU exceeds FG_IOU_THRESHOLD (0.7,
+    `DensePose/densepose/config.py`) AND that carry a DensePose annotation.
+    Returns a (R,) bool keep-mask instead of the reference's list surgery
+    (downstream losses mask by it)."""
+    from straps_tpu.perception.ops import box_area
+
+    lt = jnp.maximum(proposal_boxes[:, :2], gt_boxes[:, :2])
+    rb = jnp.minimum(proposal_boxes[:, 2:], gt_boxes[:, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    union = box_area(proposal_boxes) + box_area(gt_boxes) - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    return (iou > iou_threshold) & has_densepose & valid
+
+
+def iuv_to_uint8_image(part: "np.ndarray", u: "np.ndarray",
+                       v: "np.ndarray") -> "np.ndarray":
+    """(S, S) part/u/v maps -> the reference's per-box uint8 IUV image
+    (`DensePose/densepose/structures.py:355-455` DensePoseResult payload:
+    channel 0 = part index, channels 1/2 = U/V scaled to [0, 255])."""
+    import numpy as np
+    return np.stack([
+        np.asarray(part).astype(np.uint8),
+        np.clip(np.asarray(u) * 255.0, 0, 255).astype(np.uint8),
+        np.clip(np.asarray(v) * 255.0, 0, 255).astype(np.uint8),
+    ], axis=-1)
+
+
 class DensePoseDeepLabHead(nn.Module):
-    """DeepLab-style head: ASPP + GN convs (NonLocal block optional in the
-    reference, off by default — `DensePose/densepose/config.py`)."""
+    """DeepLab-style head: ASPP + GN convs, with the reference's optional
+    NonLocal block (off by default — `DensePose/densepose/config.py`
+    DEEPLAB.NONLOCAL_ON)."""
     conv_dim: int = 512
     num_convs: int = 2
+    use_nonlocal: bool = False
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray) -> jnp.ndarray:
         x = ASPP(out_dim=self.conv_dim, name="aspp")(roi_feats)
+        if self.use_nonlocal:
+            x = NonLocalBlock2D(in_channels=self.conv_dim,
+                                inter_channels=self.conv_dim // 2,
+                                name="nonlocal")(x)
         for i in range(self.num_convs):
             x = nn.relu(nn.GroupNorm(num_groups=32)(
                 nn.Conv(self.conv_dim, (3, 3), padding=1,

@@ -100,6 +100,42 @@ class TestDensePoseExtras:
         back = decode_iuv_png(s)
         np.testing.assert_array_equal(back, iuv)
 
+    def test_deeplab_nonlocal_block(self):
+        from straps_tpu.perception.densepose import DensePoseDeepLabHead
+        head = DensePoseDeepLabHead(conv_dim=64, num_convs=1,
+                                    use_nonlocal=True)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(2, 14, 14, 32).astype(np.float32))
+        variables = head.init(KEY, x)
+        out = head.apply(variables, x)
+        assert out.shape == (2, 14, 14, 64)
+        assert "nonlocal" in variables["params"]
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_densepose_data_filter(self):
+        from straps_tpu.perception.densepose import densepose_data_filter
+        props = jnp.asarray([[0, 0, 10, 10],     # IoU 1.0 with gt
+                             [0, 0, 10, 10],     # same but no annotation
+                             [0, 0, 5, 10],      # IoU 0.5 (< 0.7)
+                             [0, 0, 10, 10]],    # invalid detection
+                            jnp.float32)
+        gts = jnp.asarray([[0, 0, 10, 10]] * 4, jnp.float32)
+        has_dp = jnp.asarray([True, False, True, True])
+        valid = jnp.asarray([True, True, True, False])
+        keep = np.asarray(densepose_data_filter(props, gts, has_dp, valid))
+        np.testing.assert_array_equal(keep, [True, False, False, False])
+
+    def test_iuv_uint8_packing(self):
+        from straps_tpu.perception.densepose import iuv_to_uint8_image
+        part = np.asarray([[0, 3], [24, 1]])
+        u = np.asarray([[0.0, 0.5], [1.0, 2.0]])   # 2.0 clips to 255
+        v = np.asarray([[1.0, 0.25], [0.0, -1.0]])
+        img = iuv_to_uint8_image(part, u, v)
+        assert img.dtype == np.uint8 and img.shape == (2, 2, 3)
+        np.testing.assert_array_equal(img[..., 0], part)
+        assert img[1, 1, 1] == 255 and img[1, 1, 2] == 0
+        assert img[0, 1, 1] == 127
+
 
 class TestRenderRgb:
     def test_rgb_render(self):
