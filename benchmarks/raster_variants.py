@@ -100,6 +100,107 @@ def make_kernel(img_w, num_chunks, rows, chunk, minedge=False,
     return kernel
 
 
+def make_packed_kernel(img_w, num_chunks, rows, chunk):
+    """Single-output packed kernel: min over (depth-bits & ~7) | part."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(bounds_ref, planes_ref, packed_ref):
+        rb = pl.program_id(1)
+        y0 = rb * rows
+        xs = jax.lax.broadcasted_iota(jnp.int32, (1, img_w), 1).astype(
+            jnp.float32) + 0.5
+        # Python-constant bitcast: Mosaic's tpu.bitcast only accepts vectors
+        # (rank-0 f32 -> 'operand #0 must be vector' VerificationError).
+        import numpy as _np
+        INIT = int(_np.float32(3.4e38).view(_np.int32)) & ~7
+        packed_ref[0] = jnp.full((rows, img_w), INIT, jnp.int32)
+
+        def chunk_body(c, _):
+            lo = bounds_ref[0, c, 0]
+            hi = bounds_ref[0, c, 1]
+
+            @pl.when((lo < y0 + rows) & (hi > y0))
+            def _():
+                blk = planes_ref[0, pl.ds(c * chunk, chunk), :]
+                e0x, e0y, e0c = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+                e1x, e1y, e1c = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+                e2x, e2y, e2c = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+                zx, zy, zc = blk[:, 9:10], blk[:, 10:11], blk[:, 11:12]
+                attr = blk[:, 12:13].astype(jnp.int32)          # (C, 1)
+                e0xx = e0x * xs
+                e1xx = e1x * xs
+                e2xx = e2x * xs
+                zxx = zx * xs
+                rows_out = []
+                for r in range(rows):
+                    y = (y0 + r).astype(jnp.float32) + 0.5
+                    e0 = e0xx + (e0y * y + e0c)
+                    e1 = e1xx + (e1y * y + e1c)
+                    e2 = e2xx + (e2y * y + e2c)
+                    cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
+                    zval = zxx + (zy * y + zc)
+                    pk = (jax.lax.bitcast_convert_type(zval, jnp.int32)
+                          & ~jnp.int32(7)) | attr
+                    pk = jnp.where(cov, pk, INIT)
+                    rows_out.append(jnp.min(pk, axis=0, keepdims=True))
+                blkmin = jnp.concatenate(rows_out, axis=0)
+                packed_ref[0] = jnp.minimum(packed_ref[0], blkmin)
+
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+    return kernel
+
+
+def build_packed(planes, bounds, img_h, img_w, face_parts, rows=8):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, F = planes.shape[0], planes.shape[1]
+    pad = (-F) % FACE_CHUNK
+    if pad:
+        kill = jnp.zeros((B, pad, 4, 3), planes.dtype)
+        kill = kill.at[:, :, :3, 2].set(-1.0)
+        planes = jnp.concatenate([planes, kill], axis=1)
+    Fp = planes.shape[1]
+    num_chunks = Fp // FACE_CHUNK
+    flat = planes.reshape(B, Fp, 12)
+    attr = jnp.zeros((Fp,), jnp.float32).at[:F].set(
+        jnp.asarray(face_parts, jnp.float32))
+    attr = jnp.broadcast_to(attr[None, :, None], (B, Fp, 1))
+    flat = jnp.concatenate([flat, attr,
+                            jnp.zeros((B, Fp, 3), planes.dtype)], axis=-1)
+    grid = (B, img_h // rows)
+    kernel = make_packed_kernel(img_w, num_chunks, rows, FACE_CHUNK)
+
+    @jax.jit
+    def run(bounds, flat):
+        packed = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, num_chunks, 2), lambda b, rb: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Fp, 16), lambda b, rb: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, img_w), lambda b, rb: (b, rb, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, img_h, img_w), jnp.int32),
+        )(bounds, flat)
+        parts = packed & 7
+        depth = jax.lax.bitcast_convert_type(packed & ~jnp.int32(7),
+                                             jnp.float32)
+        return parts, depth
+
+    return run, bounds, flat
+
+
 def build_variant(planes, bounds, img_h, img_w, rows=8, minedge=False,
                   batched=False, zdtype="float32"):
     import jax
@@ -182,7 +283,27 @@ def main():
     ref_fid, ref_z = rasterize_pallas(planes, bounds, 256, 256)
     ref_fid = np.asarray(ref_fid)
     t = timeit(lambda p, b: rasterize_pallas(p, b, 256, 256), planes, bounds)
-    print(f"{'base (committed)':28s} {t:7.1f} ms")
+    print(f"{'base fid (committed)':28s} {t:7.1f} ms")
+
+    ref_parts, _ = rasterize_pallas(planes, bounds, 256, 256,
+                                    face_attr=assets.face_parts)
+    t = timeit(lambda p, b: rasterize_pallas(p, b, 256, 256,
+                                             face_attr=assets.face_parts),
+               planes, bounds)
+    print(f"{'attr packed (committed)':28s} {t:7.1f} ms")
+
+    if not only or "packed" in only:
+        try:
+            runp, b_, f_ = build_packed(planes, bounds, 256, 256,
+                                        assets.face_parts)
+            pp, dz = runp(b_, f_)
+            agree = float((np.asarray(pp) == np.asarray(ref_parts)).mean())
+            t = timeit(runp, b_, f_)
+            print(f"{'packed part-in-mantissa':28s} {t:7.1f} ms   "
+                  f"parts agreement {agree:.5f}")
+        except Exception as e:  # noqa
+            print(f"{'packed part-in-mantissa':28s} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:2000]}")
 
     variants = {
         "minedge": dict(minedge=True),

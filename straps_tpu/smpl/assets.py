@@ -59,6 +59,13 @@ class SmplAssets:
 
 def _to_assets(d: dict, dtype=jnp.float32, is_synthetic: bool = False) -> SmplAssets:
     j = lambda k: jnp.asarray(np.asarray(d[k]), dtype=dtype)
+    # The Pallas rasteriser packs part ids into the depth's low mantissa
+    # bits (render/pallas_raster.py ATTR_BITS); guard the range while the
+    # array is still concrete.
+    fp = np.asarray(d["face_parts"])
+    if fp.min() < 0 or fp.max() > 7:
+        raise ValueError(f"face_parts must be in [0, 7], got "
+                         f"[{fp.min()}, {fp.max()}]")
     return SmplAssets(
         v_template=j("v_template"),
         shapedirs=j("shapedirs"),

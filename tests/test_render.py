@@ -141,6 +141,33 @@ class TestPallasRaster:
         mismatch = (parts_p != parts_x).mean()
         assert mismatch < 0.002, f"part map mismatch {mismatch:.5f}"
 
+    def test_packed_attr_mode_parts_and_depth(self):
+        """Attr mode packs the part id into the depth's low mantissa bits
+        (pallas_raster.py ATTR_BITS): parts must agree with the fid-mode
+        lookup except at sub-8-ulp z ties, and the returned depth must match
+        the unpacked depth to the documented 2**ATTR_BITS-ulp quantisation."""
+        from straps_tpu.render.pallas_raster import ATTR_BITS
+        assets = load_synthetic_assets()
+        verts = assets.v_template[None]
+        cam_t = jnp.asarray(np.array([[0.0, 0.2, 42.0]], np.float32))
+        K = jnp.asarray(get_intrinsics_matrix(64, 64, 1250.0))
+        screen, z = project_to_screen(verts, cam_t, K)
+        planes = prepare_face_planes(screen, z, assets.faces).planes
+        bounds = face_chunk_row_bounds(screen, assets.faces, FACE_CHUNK, 64)
+        parts_a, z_a = rasterize_pallas(planes, bounds, 64, 64,
+                                        interpret=True,
+                                        face_attr=assets.face_parts)
+        fid_p, z_p = rasterize_pallas(planes, bounds, 64, 64, interpret=True)
+        parts_ref = np.asarray(face_ids_to_parts(fid_p, assets.face_parts))
+        mismatch = (np.asarray(parts_a) != parts_ref).mean()
+        assert mismatch < 0.002, f"attr-mode part mismatch {mismatch:.5f}"
+        fg = np.asarray(fid_p) >= 0
+        za, zp = np.asarray(z_a)[fg], np.asarray(z_p)[fg]
+        # quantised depth: |delta| <= 2**ATTR_BITS ulps of the f32 value
+        ulps = np.abs(za.view(np.int32).astype(np.int64)
+                      - zp.view(np.int32).astype(np.int64))
+        assert ulps.max() <= 2 ** ATTR_BITS, ulps.max()
+
 
 class TestFaceSorting:
     def test_sort_faces_by_ymin(self):
