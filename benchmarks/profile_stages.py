@@ -1,7 +1,8 @@
 """Stage-level timing of the training step on the real TPU: synthetic data
 generation (augment+SMPL+render+crop+heatmaps), forward+loss, full step.
 
-Usage: python benchmarks/profile_stages.py [batch]
+Usage: python benchmarks/profile_stages.py [batch] [compute_dtype]
+(compute_dtype e.g. bfloat16 — applies to the regressor encoder, stage 4.)
 """
 
 import os
@@ -35,6 +36,7 @@ def timeit(fn, *args, n=10):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 140
+    compute_dtype = sys.argv[2] if len(sys.argv) > 2 else None
     import jax
     import jax.numpy as jnp
     from straps_tpu.config import TrainConfig
@@ -72,10 +74,13 @@ def main():
     print(f"synthetic batch gen:    {t * 1e3:7.1f} ms")
 
     # Stage 4: full train step.
+    if compute_dtype:
+        cfg.model.compute_dtype = compute_dtype
     model, assets2, state, tx, train_step, val_step, mesh = build_training(
         cfg, assets)
     t = timeit(lambda: train_step(state, key, pose, shape)[1], n=10)
-    print(f"full train step:        {t * 1e3:7.1f} ms")
+    tag = f" ({compute_dtype})" if compute_dtype else ""
+    print(f"full train step{tag}:        {t * 1e3:7.1f} ms")
 
 
 if __name__ == "__main__":
