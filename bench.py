@@ -4,20 +4,25 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric (BASELINE.json): proxy-representation -> SMPL inferences/sec
-on one chip (flagship ResNet-18 + IEF x3 + full SMPL forward, batch 256,
-256x256x18 input, float32 — batch 256 saturates the MXU; bf16 adds <2%).  `vs_baseline` is the ratio against the same jitted
-pipeline on one host CPU — the stand-in for the reference's CPU path, since
-the torch reference cannot run here (licensed SMPL assets + checkpoints are
-absent; BASELINE.json configs[0] names the CPU reference).
+on one chip (flagship ResNet-18 + IEF x3 + full SMPL forward, 256x256x18
+input).  Default config is the fastest measured serving point — batch 512,
+bf16 encoder compute (f32 SMPL math) — from the v5e sweep
+{f32@256: 11372, f32@512: 10976, bf16@512: 11815 inf/s}; override with
+`python bench.py [batch] [compute_dtype]`.  `vs_baseline` is the ratio
+against the same jitted pipeline (f32) on one host CPU — the stand-in for
+the reference's CPU path, since the torch reference cannot run here
+(licensed SMPL assets + checkpoints are absent; BASELINE.json configs[0]
+names the CPU reference).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def build_forward(device):
+def build_forward(device, compute_dtype=None):
     import jax
     import jax.numpy as jnp
     from straps_tpu.geometry import rot6d_to_rotmat
@@ -25,7 +30,8 @@ def build_forward(device):
     from straps_tpu.smpl import load_synthetic_assets, smpl_forward
 
     assets = load_synthetic_assets()
-    model = build_regressor(assets.mean_pose_6d, assets.mean_shape)
+    model = build_regressor(assets.mean_pose_6d, assets.mean_shape,
+                            compute_dtype=compute_dtype)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 256, 256, 18)), train=False)
     variables = jax.device_put(variables, device)
@@ -61,12 +67,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    batch = 256
+    # Persistent compile cache: the CPU-baseline jit takes minutes on this
+    # 1-core host and dominates bench wall time without it.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
     rng = np.random.RandomState(0)
     proxy_np = (rng.rand(batch, 256, 256, 18) < 0.02).astype(np.float32)
 
     tpu_dev = jax.devices()[0]
-    fn_tpu = build_forward(tpu_dev)
+    fn_tpu = build_forward(tpu_dev, compute_dtype=dtype)
     proxy_tpu = jax.device_put(jnp.asarray(proxy_np), tpu_dev)
     tpu_ips = throughput(fn_tpu, proxy_tpu, iters=30, batch=batch)
 
