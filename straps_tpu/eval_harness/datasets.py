@@ -29,6 +29,15 @@ def _first_key(data: Dict[str, np.ndarray], keys) -> Optional[str]:
     return None
 
 
+def normalise_gender(g) -> str:
+    """-> 'm' / 'f' / 'n'.  Decodes bytes first: str(np.bytes_(b'm')) is
+    "b'm'", whose first char is 'b' — silently un-gendering every sample."""
+    if isinstance(g, (bytes, np.bytes_)):
+        g = g.decode("utf-8", "replace")
+    s = str(g).lower()[:1]
+    return s if s in ("m", "f") else "n"
+
+
 def load_ssp3d(labels_path: str,
                silhouette_dir: Optional[str] = None) -> Dict[str, np.ndarray]:
     """Load an SSP-3D-style labels npz (+ optional silhouette png/npy dir).
@@ -47,7 +56,7 @@ def load_ssp3d(labels_path: str,
     gk = _first_key(data, _GENDER_KEYS)
     if gk is not None:
         out["genders"] = np.asarray(
-            [str(g).lower()[:1] for g in data[gk]])
+            [normalise_gender(g) for g in data[gk]])
     jk = _first_key(data, _JOINTS_KEYS)
     if jk is not None:
         out["joints2D"] = np.asarray(data[jk], np.float32)[..., :2]
@@ -99,7 +108,7 @@ def load_3dpw(sequence_dir: str, split: str = "test",
                 valid = np.asarray(seq["campose_valid"][a], bool)[::stride]
                 pp = pp[valid]
             beta = np.asarray(seq["betas"][a], np.float32)[:10]
-            g = str(seq.get("genders", ["n"] * n_actors)[a]).lower()[:1]
+            g = normalise_gender(seq.get("genders", ["n"] * n_actors)[a])
             poses.append(pp)
             shapes.append(np.tile(beta, (len(pp), 1)))
             genders.append(np.asarray([g] * len(pp)))

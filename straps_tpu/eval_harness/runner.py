@@ -15,10 +15,12 @@ via the renderer (synthetic-eval mode, used by tests/bench).
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from straps_tpu.config import PredictConfig
+from straps_tpu.eval_harness.datasets import normalise_gender
 from straps_tpu.geometry import get_intrinsics_matrix
 from straps_tpu.metrics import EvalMetricsTracker, compute_per_frame_metrics
 from straps_tpu.predict.pipeline import make_predict_fn, load_regressor_variables
@@ -72,10 +74,13 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
         aggregation (the reference loops every frame);
       * ground truth goes through the *per-sample* gendered body model
         (SSP-3D batches are mixed-gender);
-      * silhouette IoU targets are the dataset's annotated silhouettes in
-        image space when shipped (`eval_metrics_tracker.py:158-178` receives
-        dataset masks); GT meshes are only re-rendered when the dataset has
-        no silhouettes (synthetic-eval mode).
+      * silhouette IoU compares prediction and annotation in the SAME
+        frame: the predicted mesh is rendered with the crop-frame
+        weak-perspective camera the regressor actually emitted, against the
+        dataset silhouette put through the identical crop (proxy channel 0)
+        — the reference tracker (`eval_metrics_tracker.py:158-178`) receives
+        driver-aligned masks; GT meshes are only re-rendered when the
+        dataset has no silhouettes (synthetic-eval mode).
     """
     assets = load_assets(cfg.smpl_dir)
     # Gendered models when available (SSP-3D protocol); neutral otherwise.
@@ -95,7 +100,7 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
 
     poses = np.asarray(dataset["poses"], np.float32)
     shapes = np.asarray(dataset["shapes"], np.float32)
-    genders = np.asarray([str(g).lower()[:1] for g in
+    genders = np.asarray([normalise_gender(g) for g in
                           dataset.get("genders", ["n"] * len(poses))])
     if "silhouettes" in dataset and "joints2D" in dataset:
         sils = np.asarray(dataset["silhouettes"], np.float32)
@@ -105,12 +110,10 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
 
     img_wh = cfg.img_wh
     # Pred-silhouette camera: `weak_perspective_to_camera_translation` in the
-    # predict rollout uses focal 5000 at `img_wh`; rendering the prediction
-    # in the silhouette frame (resolution sil_wh) therefore needs
-    # f = 5000 * sil_wh / img_wh for the on-screen extent to match.
-    sil_wh = int(sils.shape[1])
-    K = jnp.asarray(get_intrinsics_matrix(sil_wh, sil_wh,
-                                          5000.0 * sil_wh / img_wh))
+    # predict rollout defines cam_t with focal 5000 at `img_wh` in the CROP
+    # frame the proxy was built in — so the IoU render uses the same K and
+    # the crop of the dataset silhouette (proxy channel 0) as its target.
+    K = jnp.asarray(get_intrinsics_matrix(img_wh, img_wh, 5000.0))
     want_iou = "silhouette_ious" in metrics
     tracker = EvalMetricsTracker(list(metrics), img_wh=img_wh,
                                  save_path=save_path,
@@ -143,9 +146,12 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
             o = smpl_forward_axis_angle(ga, sh_b, po_b)
             r = smpl_forward(ga, sh_b)
             m = batch_g == g
-            gt_verts[m] = np.asarray(o.vertices)[m]
-            gt_joints[m] = np.asarray(o.joints)[m]
-            gt_reposed_v[m] = np.asarray(r.vertices)[m]
+            # One batched pull per gender (CLAUDE.md host<->device rule).
+            v_np, j_np, rv_np = jax.device_get(
+                (o.vertices, o.joints, r.vertices))
+            gt_verts[m] = v_np[m]
+            gt_joints[m] = j_np[m]
+            gt_reposed_v[m] = rv_np[m]
 
         gt_h36mlsp, _ = select_joint_sets(jnp.asarray(gt_joints))
         pred_h36mlsp, _ = select_joint_sets(pred["joints3d_all"])
@@ -156,11 +162,11 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
         if want_iou:
             pred_sil, _ = render_silhouette(
                 pred["verts"], jnp.asarray(pred["cam_t"]), K, assets.faces,
-                sil_wh, backend="xla")
+                img_wh, backend="xla")
             pred_dict["silhouettes"] = pred_sil
-            # Image-space IoU against the dataset silhouettes (annotated
-            # masks when shipped, GT renders in synthetic-eval mode).
-            target_dict["silhouettes"] = jnp.asarray(sils[idx])
+            # Crop-frame IoU: the dataset silhouette through the same crop
+            # the proxy (and therefore cam_t) lives in.
+            target_dict["silhouettes"] = proxies[..., 0]
 
         pf = compute_per_frame_metrics(
             tuple(metrics), pred_dict, target_dict, img_wh,

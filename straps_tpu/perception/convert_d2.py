@@ -111,6 +111,44 @@ def _map_backbone(rest, trunk_scope):
     return None
 
 
+def _map_densepose_head(sub):
+    """'roi_heads.densepose_head.<module path, no leaf>' -> flax path.
+
+    V1ConvX: flat `body_conv_fcn{i}` convs.  DeepLab
+    (`densepose_head.py:24-268`): `ASPP.convs.{0..4}.*` (conv1x1 / three
+    atrous / pooling branches, each Sequential(conv, GN[, pool]) ),
+    `ASPP.project.0`, optional `NLBlock.{theta,phi.0,g.0,W.0,W.1}`, and
+    `body_conv_fcn{i}[.norm]` stacked convs."""
+    head = ("densepose_head",)
+    if sub[0] == "ASPP":
+        if sub[1] == "convs":
+            i, j = int(sub[2]), sub[3]
+            if i == 0:
+                return head + ("aspp", "conv1x1" if j == "0" else "gn1x1")
+            if i in (1, 2, 3):
+                return head + ("aspp", f"atrous{i}" if j == "0"
+                               else f"gn_atrous{i}")
+            # i == 4: pooling branch — Sequential(AdaptiveAvgPool, conv, GN)
+            return head + ("aspp", "pool_conv" if j == "1" else "gn_pool")
+        if sub[1] == "project":
+            return head + ("aspp", "project")        # index 0 conv only
+        return None
+    if sub[0] == "NLBlock":
+        m = sub[1]
+        if m == "theta":
+            return head + ("nonlocal", "theta")
+        if m in ("phi", "g"):                        # Sequential(conv, pool)
+            return head + ("nonlocal", m)
+        if m == "W":                                 # Sequential(conv, GN)
+            return head + ("nonlocal", "W" if sub[2] == "0" else "gn_w")
+        return None
+    if sub[0].startswith("body_conv_fcn"):
+        if len(sub) > 1 and sub[1] == "norm":
+            return head + ("gn" + sub[0][len("body_conv_fcn"):],)
+        return head + (sub[0],)
+    return head + (sub[0],)
+
+
 def convert_d2_state(d2_state: Dict[str, np.ndarray],
                      arch: str = "keypoint") -> dict:
     """Convert a flat detectron2 state dict to flax variables for
@@ -151,7 +189,7 @@ def convert_d2_state(d2_state: Dict[str, np.ndarray],
             elif name == "predictor":
                 path = ("point_head", "predictor")
         elif body[:2] == ["roi_heads", "densepose_head"]:
-            path = ("densepose_head", body[2])
+            path = _map_densepose_head(body[2:])
         elif body[:2] == ["roi_heads", "densepose_predictor"]:
             path = ("densepose_predictor", body[2])
         if path is not None:

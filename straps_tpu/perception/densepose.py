@@ -54,27 +54,35 @@ class DensePosePredictor(nn.Module):
 
 
 class ASPP(nn.Module):
-    """Atrous spatial pyramid pooling with GroupNorm (the DeepLab variant's
-    core, `DensePose/densepose/densepose_head.py:150-268`: rates (6, 12, 56)
-    + image-level pooling branch)."""
+    """Atrous spatial pyramid pooling (the DeepLab variant's core,
+    `DensePose/densepose/densepose_head.py:89-145`): conv1x1 + three atrous
+    branches + an image-level pooling branch, each conv bias-free with a
+    GroupNorm(32), then a bias-free 1x1 projection with NO norm (the
+    reference comments its project BatchNorm out).  GroupNorms carry
+    explicit names so `convert_d2` can address them."""
     out_dim: int = 512
     rates: tuple = (6, 12, 56)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         R, H, W, _ = x.shape
-        branches = [nn.relu(nn.GroupNorm(num_groups=32)(
-            nn.Conv(self.out_dim, (1, 1), name="conv1x1")(x)))]
+        branches = [nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn1x1")(
+            nn.Conv(self.out_dim, (1, 1), use_bias=False,
+                    name="conv1x1")(x)))]
         for k, rate in enumerate(self.rates):
             b = nn.Conv(self.out_dim, (3, 3), kernel_dilation=(rate, rate),
-                        padding=rate, name=f"atrous{k + 1}")(x)
-            branches.append(nn.relu(nn.GroupNorm(num_groups=32)(b)))
+                        padding=rate, use_bias=False,
+                        name=f"atrous{k + 1}")(x)
+            branches.append(nn.relu(
+                nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"gn_atrous{k + 1}")(b)))
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = nn.relu(nn.Conv(self.out_dim, (1, 1), name="pool_conv")(pooled))
+        pooled = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn_pool")(
+            nn.Conv(self.out_dim, (1, 1), use_bias=False,
+                    name="pool_conv")(pooled)))
         branches.append(jnp.broadcast_to(pooled, (R, H, W, self.out_dim)))
         cat = jnp.concatenate(branches, axis=-1)
-        return nn.relu(nn.GroupNorm(num_groups=32)(
-            nn.Conv(self.out_dim, (1, 1), name="project")(cat)))
+        return nn.relu(nn.Conv(self.out_dim, (1, 1), use_bias=False,
+                               name="project")(cat))
 
 
 class NonLocalBlock2D(nn.Module):
@@ -102,7 +110,10 @@ class NonLocalBlock2D(nn.Module):
         attn = jax.nn.softmax(jnp.einsum("rqc,rkc->rqk", q, k), axis=-1)
         y = jnp.einsum("rqk,rkc->rqc", attn, v).reshape(
             R, H, W, self.inter_channels)
-        w_y = nn.GroupNorm(num_groups=32)(
+        # Reference zero-inits the output GroupNorm's scale AND bias
+        # (densepose_head.py:201-202) so the block starts as identity.
+        w_y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn_w",
+                           scale_init=nn.initializers.zeros)(
             nn.Conv(self.in_channels, (1, 1), name="W")(y))
         return x + w_y
 
@@ -142,23 +153,28 @@ def iuv_to_uint8_image(part: "np.ndarray", u: "np.ndarray",
 
 
 class DensePoseDeepLabHead(nn.Module):
-    """DeepLab-style head: ASPP + GN convs, with the reference's optional
-    NonLocal block (off by default — `DensePose/densepose/config.py`
-    DEEPLAB.NONLOCAL_ON)."""
+    """DeepLab-style head: ASPP + stacked GN convs (NUM_STACKED_CONVS=8,
+    `DensePose/densepose/config.py:17`), with the reference's optional
+    NonLocal block (off by default — DEEPLAB.NONLOCAL_ON).  Stacked convs
+    are bias-free with a named GroupNorm, matching d2's Conv2d(norm=GN,
+    bias=not norm) so checkpoints convert 1:1."""
     conv_dim: int = 512
-    num_convs: int = 2
+    num_convs: int = 8
     use_nonlocal: bool = False
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray) -> jnp.ndarray:
-        x = ASPP(out_dim=self.conv_dim, name="aspp")(roi_feats)
+        # Reference wiring (`densepose_head.py:38-44`): ASPP keeps the ROI
+        # feature width (out = input_channels) and NL runs at that width;
+        # only the stacked convs map to CONV_HEAD_DIM.
+        C = roi_feats.shape[-1]
+        x = ASPP(out_dim=C, name="aspp")(roi_feats)
         if self.use_nonlocal:
-            x = NonLocalBlock2D(in_channels=self.conv_dim,
-                                inter_channels=self.conv_dim // 2,
+            x = NonLocalBlock2D(in_channels=C, inter_channels=C // 2,
                                 name="nonlocal")(x)
         for i in range(self.num_convs):
-            x = nn.relu(nn.GroupNorm(num_groups=32)(
-                nn.Conv(self.conv_dim, (3, 3), padding=1,
+            x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"gn{i + 1}")(
+                nn.Conv(self.conv_dim, (3, 3), padding=1, use_bias=False,
                         name=f"body_conv_fcn{i + 1}")(x)))
         return x
 

@@ -88,7 +88,11 @@ def predict_joints2d(image_rgb: np.ndarray, model, variables,
     When `test_size` is set the network runs at that resolution and the
     model's `output_size` maps outputs back to the input frame."""
     from straps_tpu.perception.rcnn import normalise_image
-    h, w = image_rgb.shape[:2]
+    h = image_rgb.shape[0]
+    # Boxes/keypoints come back in the model's `output_size` frame (the
+    # network itself runs at `test_size`); centred selection must use that
+    # frame's dims, which equal the input's only when output_size is 0/h.
+    fw = fh = getattr(model, "output_size", 0) or h
     inp = jnp.asarray(normalise_image(_resize_for_test(image_rgb, test_size)))
     if apply_fn is None:
         apply_fn = make_apply_fn(model, variables)
@@ -96,7 +100,7 @@ def predict_joints2d(image_rgb: np.ndarray, model, variables,
     valid = np.asarray(out["valid"])
     if not valid.any():
         return np.zeros((17, 3), np.float32), np.asarray(out["boxes"])
-    idx = get_largest_centred_box_index(out["boxes"], valid, w, h)
+    idx = get_largest_centred_box_index(out["boxes"], valid, fw, fh)
     kp = np.asarray(out["keypoints"])[idx]
     ks = np.asarray(out["keypoint_scores"])[idx]
     return np.concatenate([kp, ks[:, None]], axis=1), np.asarray(out["boxes"])
@@ -107,14 +111,17 @@ def predict_silhouette(image_rgb: np.ndarray, model, variables,
     """Image -> (H, W) binary silhouette of the selected person (PointRend or
     DensePose model; both expose 'masks')."""
     from straps_tpu.perception.rcnn import normalise_image
-    h, w = image_rgb.shape[:2]
     inp = jnp.asarray(normalise_image(_resize_for_test(image_rgb, test_size)))
     if apply_fn is None:
         apply_fn = make_apply_fn(model, variables)
     out = apply_fn(inp)
     valid = np.asarray(out["valid"])
     masks = np.asarray(out["masks"])
+    # Masks are pasted in the model's `output_size` frame; return the
+    # no-detection zeros in the SAME frame so batch stacking never mixes
+    # shapes, and run centred selection with that frame's dims.
+    mh, mw = masks.shape[-2:]
     if not valid.any():
-        return np.zeros((h, w), np.float32)
-    idx = get_largest_centred_mask_index(masks, valid, w, h)
+        return np.zeros((mh, mw), np.float32)
+    idx = get_largest_centred_mask_index(masks, valid, mw, mh)
     return masks[idx].astype(np.float32)

@@ -164,7 +164,7 @@ def detect_and_build_proxies(cfg: PredictConfig):
                          glob.glob(os.path.join(cfg.input_dir, "*.jpg")))
     if not image_paths:
         raise FileNotFoundError(f"no images in {cfg.input_dir}")
-    names, sils, joints = [], [], []
+    names, sils, joints, vis_crops = [], [], [], []
     for path in image_paths:
         img = cv2.imread(path)[:, :, ::-1]  # BGR -> RGB
         h, w = img.shape[:2]
@@ -178,29 +178,43 @@ def detect_and_build_proxies(cfg: PredictConfig):
         names.append(os.path.splitext(os.path.basename(path))[0])
         sils.append(sil)
         joints.append(kp[:, :2])
+        # The proxy lives in a crop around the silhouette, so the predicted
+        # weak-perspective camera does too: crop the RGB with the SAME box
+        # for the mesh-overlay vis (the reference crops the image alongside
+        # the proxy, `predict_3D.py:116-121` image_out_wh).
+        vis_crops.append(crop_image_like_proxy(sil, img))
     proxies, _ = batch_silhouettes_joints_to_proxies(
         jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(joints)),
         cfg.img_wh, heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
-    return names, proxies
+    return names, proxies, vis_crops
 
 
-def _load_input_image(input_dir: str, name: str):
-    """Find `<name>.png|.jpg` in `input_dir`, pad to square + bring to the
-    reference's 512 working frame (like `predict_3D.py:102-106`); None when
-    absent (cached-proxy-only runs have no images)."""
-    for ext in (".png", ".jpg", ".jpeg"):
-        path = os.path.join(input_dir, name + ext)
-        if os.path.exists(path):
-            import cv2
-            from straps_tpu.geometry.bbox import pad_to_square_params
-            img = cv2.imread(path)
-            if img is None:
-                return None
-            img = img[:, :, ::-1]
-            h, w = img.shape[:2]
-            top, left = pad_to_square_params(h, w)
-            return np.pad(img, ((top, top), (left, left), (0, 0)))
-    return None
+def crop_image_like_proxy(sil: np.ndarray, img: np.ndarray,
+                          scale_factor: float = 1.2) -> np.ndarray:
+    """Crop `img` with the same square silhouette-bbox crop the proxy uses
+    (host-side mirror of `geometry/bbox.py::crop_and_resize_padded`'s box
+    math; `utils/image_utils.py:108-163` crops the image alongside).  The
+    crop is zero-padded where it leaves the image and NOT resized — the
+    overlay renderer resizes the base to its output size."""
+    sil = np.asarray(sil)
+    rows = np.flatnonzero(sil.any(axis=1))
+    cols = np.flatnonzero(sil.any(axis=0))
+    if len(rows) == 0 or len(cols) == 0:
+        return img
+    r0, r1 = rows[0], rows[-1]          # inclusive, like mask_bounding_box
+    c0, c1 = cols[0], cols[-1]
+    centre_r, centre_c = (r0 + r1) / 2.0, (c0 + c1) / 2.0
+    wh = max(r1 - r0, c1 - c0) * scale_factor
+    top_r, top_c = int(centre_r - wh / 2.0), int(centre_c - wh / 2.0)
+    bot_r, bot_c = int(centre_r + wh / 2.0), int(centre_c + wh / 2.0)
+    ch, cw = max(bot_r - top_r, 1), max(bot_c - top_c, 1)
+    out = np.zeros((ch, cw, img.shape[2]), img.dtype)
+    sr0, sc0 = max(top_r, 0), max(top_c, 0)
+    sr1, sc1 = min(bot_r, img.shape[0]), min(bot_c, img.shape[1])
+    if sr1 > sr0 and sc1 > sc0:
+        out[sr0 - top_r:sr1 - top_r, sc0 - top_c:sc1 - top_c] = \
+            img[sr0:sr1, sc0:sc1]
+    return out
 
 
 def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarray]:
@@ -216,8 +230,11 @@ def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarra
         names, proxies = load_cached_proxies(
             proxy_dir, cfg.img_wh,
             heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
+        # Cached proxies carry no record of the crop their camera lives in,
+        # so the overlay vis falls back to a standalone render.
+        vis_crops = [None] * len(names)
     else:
-        names, proxies = detect_and_build_proxies(cfg)
+        names, proxies, vis_crops = detect_and_build_proxies(cfg)
     predict = make_predict_fn(model, variables, assets, cfg.img_wh)
     out = predict(proxies)
     out_np = {k: np.asarray(v) for k, v in out.items()}
@@ -244,12 +261,14 @@ def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarra
         for i, name in enumerate(names):
             scatter_vis(out_np["verts"][i],
                         os.path.join(cfg.out_dir, "verts_vis", f"{name}.png"))
-            # Mesh-overlay compositing over the input RGB when the source
-            # image exists (`weak_perspective_pyrender_renderer.py:104-118`);
-            # standalone render otherwise (cached-proxy-only runs).
-            image = _load_input_image(cfg.input_dir, name)
+            # Mesh-overlay compositing over the SAME image crop the proxy
+            # (and therefore cam_wp) lives in
+            # (`weak_perspective_pyrender_renderer.py:104-118`,
+            # `predict_3D.py:116-121`); standalone render for cached
+            # proxies, whose crop is unknown.
             rend = render_body_vis(out_np["verts"][i], out_np["cam_wp"][i],
-                                   assets, img_wh=cfg.img_wh, image=image)
+                                   assets, img_wh=cfg.img_wh,
+                                   image=vis_crops[i])
             plt.imsave(os.path.join(cfg.out_dir, "rend_vis", f"{name}.png"),
                        rend)
             proxy_vis(np.asarray(proxies[i]),

@@ -217,3 +217,42 @@ class TestDatasetAdapters:
         assert out["poses"].shape == (9, 72)   # 4 valid + 5
         assert out["shapes"].shape == (9, 10)
         assert set(out["genders"]) == {"m", "f"}
+
+
+class TestEvalFixRegressions:
+    def test_normalise_gender_bytes(self):
+        """np.savez of bytes genders yields dtype S1; str(b'm')[:1] == 'b'
+        silently un-gendered every sample before the fix."""
+        from straps_tpu.eval_harness.datasets import normalise_gender
+        import numpy as np
+        assert normalise_gender(b"m") == "m"
+        assert normalise_gender(np.bytes_(b"F")) == "f"
+        assert normalise_gender("male") == "m"
+        assert normalise_gender("neutral") == "n"
+        assert normalise_gender(b"x") == "n"
+
+    def test_crop_image_like_proxy_matches_device_crop(self):
+        """The host-side vis crop must use the same box as the proxy's
+        on-device crop_and_resize_padded (else the mesh overlay lands off
+        the person)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from straps_tpu.predict.pipeline import crop_image_like_proxy
+        from straps_tpu.geometry.bbox import crop_and_resize_padded
+
+        rng = np.random.RandomState(0)
+        sil = np.zeros((64, 64), np.float32)
+        sil[10:40, 30:44] = 1.0                      # off-centre person
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        crop = crop_image_like_proxy(sil, img)
+        # Device path: crop the silhouette itself and compare to the same
+        # nearest-resampled window of the host crop's mask channel.
+        out_wh = 32
+        sil_c, _ = crop_and_resize_padded(jnp.asarray(sil),
+                                          jnp.zeros((17, 2)), out_wh)
+        mask_crop = crop_image_like_proxy(sil, sil[..., None])[..., 0]
+        import cv2
+        resized = cv2.resize(mask_crop, (out_wh, out_wh),
+                             interpolation=cv2.INTER_NEAREST)
+        agree = (resized > 0) == (np.asarray(sil_c) > 0)
+        assert agree.mean() > 0.97, agree.mean()

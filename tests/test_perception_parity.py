@@ -276,3 +276,42 @@ class TestPointRendParity:
         mj = np.asarray(out["masks"])[valid][0]
         mt = tout_e2e["masks"].numpy()[0]
         assert (mj == mt).mean() > 0.99
+
+
+class TestDeepLabHeadParity:
+    """DensePoseDeepLabHead (+NonLocal) vs the torch twin through the
+    d2-name converter (`densepose_head.py:24-268`)."""
+
+    def _run(self, nonlocal_on):
+        from tests.torch_twin_d2 import DeepLabHeadTwin
+        from straps_tpu.perception.densepose import DensePoseDeepLabHead
+
+        torch.manual_seed(3)
+        cin, hidden, n_convs, S, R = 64, 96, 2, 14, 3
+        twin = DeepLabHeadTwin(cin=cin, hidden=hidden, n_convs=n_convs,
+                               nonlocal_on=nonlocal_on)
+        if nonlocal_on:
+            # The reference zero-inits the NL output GroupNorm (identity
+            # block); randomise it so the NL path is actually exercised.
+            with torch.no_grad():
+                twin.NLBlock.W[1].weight.uniform_(0.5, 1.5)
+                twin.NLBlock.W[1].bias.uniform_(-0.2, 0.2)
+        state = {f"roi_heads.densepose_head.{k}": v
+                 for k, v in twin_state_to_d2(twin).items()}
+        variables = convert_d2_state(state)
+        head = DensePoseDeepLabHead(conv_dim=hidden, num_convs=n_convs,
+                                    use_nonlocal=nonlocal_on)
+        x_t = torch.randn(R, cin, S, S)
+        with torch.no_grad():
+            out_t = twin(x_t)
+        out_j = head.apply(
+            {"params": variables["params"]["densepose_head"]},
+            jnp.asarray(_to_nhwc(x_t)))
+        np.testing.assert_allclose(np.asarray(out_j), _to_nhwc(out_t),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_deeplab_head(self):
+        self._run(nonlocal_on=False)
+
+    def test_deeplab_head_nonlocal(self):
+        self._run(nonlocal_on=True)

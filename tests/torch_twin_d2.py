@@ -571,6 +571,95 @@ class D2PointRendRCNNTwin(nn.Module):
                 "coarse": coarse, "refined": refined, "masks": masks}
 
 
+class _ASPPPoolingTwin(nn.Sequential):
+    """ASPPPooling (densepose_head.py:74-86): global pool -> conv -> GN ->
+    ReLU -> bilinear back to the input size (constant broadcast from 1x1)."""
+
+    def __init__(self, cin, cout):
+        super().__init__(nn.AdaptiveAvgPool2d(1),
+                         nn.Conv2d(cin, cout, 1, bias=False),
+                         nn.GroupNorm(32, cout), nn.ReLU())
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        y = super().forward(x)
+        return F.interpolate(y, size=size, mode="bilinear",
+                             align_corners=False)
+
+
+class _ASPPTwin(nn.Module):
+    """ASPP (densepose_head.py:89-145) with exact d2 child names."""
+
+    def __init__(self, cin, cout, rates=(6, 12, 56)):
+        super().__init__()
+        convs = nn.ModuleList()
+        convs.append(nn.Sequential(nn.Conv2d(cin, cout, 1, bias=False),
+                                   nn.GroupNorm(32, cout), nn.ReLU()))
+        for r in rates:
+            convs.append(nn.Sequential(
+                nn.Conv2d(cin, cout, 3, padding=r, dilation=r, bias=False),
+                nn.GroupNorm(32, cout), nn.ReLU()))
+        convs.append(_ASPPPoolingTwin(cin, cout))
+        self.convs = convs
+        self.project = nn.Sequential(
+            nn.Conv2d(5 * cout, cout, 1, bias=False), nn.ReLU())
+
+    def forward(self, x):
+        return self.project(torch.cat([c(x) for c in self.convs], dim=1))
+
+
+class _NonLocalTwin(nn.Module):
+    """NONLocalBlock2D (densepose_head.py:150-268), sub_sample+bn_layer."""
+
+    def __init__(self, cin):
+        super().__init__()
+        inter = cin // 2
+        self.g = nn.Sequential(nn.Conv2d(cin, inter, 1), nn.MaxPool2d(2))
+        self.theta = nn.Conv2d(cin, inter, 1)
+        self.phi = nn.Sequential(nn.Conv2d(cin, inter, 1), nn.MaxPool2d(2))
+        self.W = nn.Sequential(nn.Conv2d(inter, cin, 1),
+                               nn.GroupNorm(32, cin))
+        self.inter = inter
+
+    def forward(self, x):
+        B = x.shape[0]
+        g_x = self.g(x).reshape(B, self.inter, -1).permute(0, 2, 1)
+        theta_x = self.theta(x).reshape(B, self.inter, -1).permute(0, 2, 1)
+        phi_x = self.phi(x).reshape(B, self.inter, -1)
+        attn = F.softmax(torch.matmul(theta_x, phi_x), dim=-1)
+        y = torch.matmul(attn, g_x).permute(0, 2, 1).reshape(
+            B, self.inter, *x.shape[2:])
+        return self.W(y) + x
+
+
+class DeepLabHeadTwin(nn.Module):
+    """DensePoseDeepLabHead twin (densepose_head.py:24-61) with exact d2
+    state-dict names: ASPP.convs.{0..4}.*, ASPP.project.0, NLBlock.*,
+    body_conv_fcn{i}[.norm].*"""
+
+    def __init__(self, cin=256, hidden=512, n_convs=8, nonlocal_on=False):
+        super().__init__()
+        self.ASPP = _ASPPTwin(cin, cin)
+        self.nonlocal_on = nonlocal_on
+        if nonlocal_on:
+            self.NLBlock = _NonLocalTwin(cin)
+        self.n_convs = n_convs
+        c = cin
+        for i in range(n_convs):
+            layer = Conv2dNorm(c, hidden, 3, padding=1, bias=False,
+                               norm=nn.GroupNorm(32, hidden))
+            self.add_module(f"body_conv_fcn{i + 1}", layer)
+            c = hidden
+
+    def forward(self, x):
+        x = self.ASPP(x)
+        if self.nonlocal_on:
+            x = self.NLBlock(x)
+        for i in range(self.n_convs):
+            x = F.relu(getattr(self, f"body_conv_fcn{i + 1}")(x))
+        return x
+
+
 def randomize_bn_stats(model, seed=0):
     """Make FrozenBN affine + running stats non-trivial so BN math (eps
     placement, mean/var wiring) is actually exercised by parity tests."""
