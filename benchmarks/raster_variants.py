@@ -155,20 +155,22 @@ def make_packed_kernel(img_w, num_chunks, rows, chunk):
     return kernel
 
 
-def build_packed(planes, bounds, img_h, img_w, face_parts, rows=8):
+def build_packed(planes, bounds, img_h, img_w, face_parts, rows=8,
+                 chunk=FACE_CHUNK):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, F = planes.shape[0], planes.shape[1]
-    pad = (-F) % FACE_CHUNK
+    pad = (-F) % chunk
     if pad:
         kill = jnp.zeros((B, pad, 4, 3), planes.dtype)
         kill = kill.at[:, :, :3, 2].set(-1.0)
         planes = jnp.concatenate([planes, kill], axis=1)
     Fp = planes.shape[1]
-    num_chunks = Fp // FACE_CHUNK
+    num_chunks = Fp // chunk
+    assert bounds.shape[1] == num_chunks, (bounds.shape, num_chunks)
     flat = planes.reshape(B, Fp, 12)
     attr = jnp.zeros((Fp,), jnp.float32).at[:F].set(
         jnp.asarray(face_parts, jnp.float32))
@@ -176,7 +178,7 @@ def build_packed(planes, bounds, img_h, img_w, face_parts, rows=8):
     flat = jnp.concatenate([flat, attr,
                             jnp.zeros((B, Fp, 3), planes.dtype)], axis=-1)
     grid = (B, img_h // rows)
-    kernel = make_packed_kernel(img_w, num_chunks, rows, FACE_CHUNK)
+    kernel = make_packed_kernel(img_w, num_chunks, rows, chunk)
 
     @jax.jit
     def run(bounds, flat):
@@ -292,18 +294,27 @@ def main():
                planes, bounds)
     print(f"{'attr packed (committed)':28s} {t:7.1f} ms")
 
-    if not only or "packed" in only:
+    bounds256 = face_chunk_row_bounds(screen, assets.faces, 256, 256)
+    packed_variants = {
+        "packed": dict(),
+        "packed_rows16": dict(rows=16),
+        "packed_rows32": dict(rows=32),
+        "packed_chunk256": dict(chunk=256),
+        "packed_rows16_chunk256": dict(rows=16, chunk=256),
+    }
+    for name, kw in packed_variants.items():
+        if only and name not in only and "packed" not in only:
+            continue
         try:
-            runp, b_, f_ = build_packed(planes, bounds, 256, 256,
-                                        assets.face_parts)
+            b_in = bounds256 if kw.get("chunk") == 256 else bounds
+            runp, b_, f_ = build_packed(planes, b_in, 256, 256,
+                                        assets.face_parts, **kw)
             pp, dz = runp(b_, f_)
             agree = float((np.asarray(pp) == np.asarray(ref_parts)).mean())
             t = timeit(runp, b_, f_)
-            print(f"{'packed part-in-mantissa':28s} {t:7.1f} ms   "
-                  f"parts agreement {agree:.5f}")
+            print(f"{name:28s} {t:7.1f} ms   parts agreement {agree:.5f}")
         except Exception as e:  # noqa
-            print(f"{'packed part-in-mantissa':28s} FAILED: "
-                  f"{type(e).__name__}: {str(e)[:2000]}")
+            print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     variants = {
         "minedge": dict(minedge=True),
