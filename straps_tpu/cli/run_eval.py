@@ -29,8 +29,16 @@ def main(argv=None):
                         choices=["clean", "legacy"],
                         help="'legacy' = reference-exact grid, for "
                              "converted reference checkpoints")
+    parser.add_argument("--data-parallel-devices", type=int, default=0,
+                        help="fan the eval batch out over a data mesh of "
+                             "this many chips (0 = single device); "
+                             "batch-size must divide by it")
     args = parser.parse_args(argv)
 
+    mesh = None
+    if args.data_parallel_devices:
+        from straps_tpu.parallel import make_mesh
+        mesh = make_mesh(args.data_parallel_devices)
     cfg = PredictConfig(checkpoint=args.checkpoint, img_wh=args.img_wh,
                         smpl_dir=args.smpl_dir,
                         heatmap_mode=args.heatmap_mode)
@@ -38,7 +46,8 @@ def main(argv=None):
     final = run_evaluation(dataset, cfg, metrics=tuple(args.metrics),
                            batch_size=args.batch_size,
                            save_per_frame=args.save_per_frame is not None,
-                           save_path=args.save_per_frame)
+                           save_path=args.save_per_frame,
+                           mesh=mesh)
     print(json.dumps({k: float(v) for k, v in final.items()}, indent=2))
 
 

@@ -65,7 +65,8 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
                    batch_size: int = 8,
                    save_per_frame: bool = False,
                    save_path: Optional[str] = None,
-                   gender_assets: Optional[Dict] = None) -> Dict[str, float]:
+                   gender_assets: Optional[Dict] = None,
+                   mesh=None) -> Dict[str, float]:
     """Evaluate a checkpoint on an SSP-3D/3DPW-style dataset.
 
     Protocol fidelity vs `metrics/eval_metrics_tracker.py:45-190`:
@@ -96,7 +97,11 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
     gender_assets.setdefault("n", assets)
 
     model, variables = load_regressor_variables(cfg, assets)
-    predict = make_predict_fn(model, variables, assets, cfg.img_wh)
+    # Optional chip fan-out: batch sharded over the mesh's data axis, like
+    # the train step (batch_size must divide by the mesh size).
+    if mesh is not None:
+        assert batch_size % mesh.devices.size == 0, (batch_size, mesh.shape)
+    predict = make_predict_fn(model, variables, assets, cfg.img_wh, mesh=mesh)
 
     poses = np.asarray(dataset["poses"], np.float32)
     shapes = np.asarray(dataset["shapes"], np.float32)

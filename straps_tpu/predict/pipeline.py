@@ -24,12 +24,24 @@ from straps_tpu.smpl import load_assets, smpl_forward
 from straps_tpu.train.synthetic import select_joint_sets
 
 
-def make_predict_fn(model, variables, assets, img_wh: int):
+def make_predict_fn(model, variables, assets, img_wh: int, mesh=None):
     """Jitted proxy -> prediction rollout.
 
     Weights and body-model assets enter as jit arguments (closed-over arrays
     would be baked into the executable as constants — slower compiles and
-    oversized programs for the remote-compile service)."""
+    oversized programs for the remote-compile service).
+
+    `mesh`: optional `jax.sharding.Mesh` (see `straps_tpu.parallel`) — the
+    proxy batch is sharded over its `data` axis and weights/assets are
+    replicated, so prediction/eval fan out across chips exactly like the
+    train step (SURVEY.md §2.5: the mesh abstraction serves eval/predict
+    too).  Batch size must be divisible by the mesh size."""
+    if mesh is not None:
+        from straps_tpu.parallel import batch_sharding, replicated_sharding
+        rep = replicated_sharding(mesh)
+        variables = jax.device_put(variables, rep)
+        assets = jax.device_put(assets, rep)
+        data_sh = batch_sharding(mesh)
 
     @jax.jit
     def _predict(variables, assets, proxies):
@@ -49,7 +61,10 @@ def make_predict_fn(model, variables, assets, img_wh: int):
             "joints3d_all": out.joints,
         }
 
-    return lambda proxies: _predict(variables, assets, proxies)
+    if mesh is None:
+        return lambda proxies: _predict(variables, assets, proxies)
+    return lambda proxies: _predict(
+        variables, assets, jax.device_put(proxies, data_sh))
 
 
 def load_cached_proxies(proxy_dir: str, img_wh: int,

@@ -256,3 +256,34 @@ class TestEvalFixRegressions:
                              interpolation=cv2.INTER_NEAREST)
         agree = (resized > 0) == (np.asarray(sil_c) > 0)
         assert agree.mean() > 0.97, agree.mean()
+
+
+class TestPredictMeshFanout:
+    def test_mesh_predict_matches_single_device(self):
+        """SURVEY §2.5: eval/predict fan out over the same data mesh as
+        training — sharded rollout must equal the unsharded one."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from straps_tpu.parallel import make_mesh
+        from straps_tpu.predict.pipeline import make_predict_fn
+        from straps_tpu.models import build_regressor
+        from straps_tpu.smpl import load_synthetic_assets
+
+        assets = load_synthetic_assets()
+        model = build_regressor(assets.mean_pose_6d, assets.mean_shape)
+        proxy = jnp.asarray(
+            (np.random.RandomState(0).rand(8, 64, 64, 18) < 0.05)
+            .astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), proxy[:1], train=False)
+
+        single = make_predict_fn(model, variables, assets, 64)(proxy)
+        mesh = make_mesh()          # 8 virtual CPU devices (conftest)
+        fanned = make_predict_fn(model, variables, assets, 64,
+                                 mesh=mesh)(proxy)
+        assert fanned["verts"].sharding.num_devices == 8
+        for k in ("verts", "cam_wp", "joints2d", "reposed_verts"):
+            # SPMD partitioning reassociates reductions: tiny float noise.
+            np.testing.assert_allclose(np.asarray(fanned[k]),
+                                       np.asarray(single[k]),
+                                       atol=5e-5, rtol=1e-4)
