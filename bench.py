@@ -84,7 +84,7 @@ def main():
     try:
         # CPU baseline on a small batch (this host has 1 core; the per-image
         # cost is batch-size-insensitive on CPU).
-        cpu_batch = 4
+        cpu_batch = min(4, batch)
         cpu_dev = jax.devices("cpu")[0]
         fn_cpu = build_forward(cpu_dev)
         proxy_cpu = jax.device_put(jnp.asarray(proxy_np[:cpu_batch]), cpu_dev)

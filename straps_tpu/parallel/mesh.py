@@ -34,9 +34,17 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` devices (0 = all)."""
+    """1-D data-parallel mesh over the first `num_devices` devices (0 = all).
+
+    Asking for more devices than exist is an error — silently shrinking the
+    mesh would run a "fanned-out" job on fewer chips than the user believes.
+    """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices:
+        if num_devices > len(devs):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} device(s) are available")
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 

@@ -88,11 +88,13 @@ def predict_joints2d(image_rgb: np.ndarray, model, variables,
     When `test_size` is set the network runs at that resolution and the
     model's `output_size` maps outputs back to the input frame."""
     from straps_tpu.perception.rcnn import normalise_image
-    h = image_rgb.shape[0]
-    # Boxes/keypoints come back in the model's `output_size` frame (the
-    # network itself runs at `test_size`); centred selection must use that
-    # frame's dims, which equal the input's only when output_size is 0/h.
-    fw = fh = getattr(model, "output_size", 0) or h
+    # Boxes/keypoints come back in the model's `output_size` frame; with
+    # output_size=0 they stay in the network-input frame, which is the
+    # `test_size` square when set and the raw image otherwise.  Centred
+    # selection must use that frame's dims.
+    fw = fh = getattr(model, "output_size", 0) or test_size or 0
+    if not fw:
+        fh, fw = image_rgb.shape[:2]
     inp = jnp.asarray(normalise_image(_resize_for_test(image_rgb, test_size)))
     if apply_fn is None:
         apply_fn = make_apply_fn(model, variables)

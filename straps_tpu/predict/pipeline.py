@@ -37,11 +37,9 @@ def make_predict_fn(model, variables, assets, img_wh: int, mesh=None):
     train step (SURVEY.md §2.5: the mesh abstraction serves eval/predict
     too).  Batch size must be divisible by the mesh size."""
     if mesh is not None:
-        from straps_tpu.parallel import batch_sharding, replicated_sharding
-        rep = replicated_sharding(mesh)
-        variables = jax.device_put(variables, rep)
-        assets = jax.device_put(assets, rep)
-        data_sh = batch_sharding(mesh)
+        from straps_tpu.parallel import replicate, shard_batch
+        variables = replicate(variables, mesh)
+        assets = replicate(assets, mesh)
 
     @jax.jit
     def _predict(variables, assets, proxies):
@@ -63,8 +61,8 @@ def make_predict_fn(model, variables, assets, img_wh: int, mesh=None):
 
     if mesh is None:
         return lambda proxies: _predict(variables, assets, proxies)
-    return lambda proxies: _predict(
-        variables, assets, jax.device_put(proxies, data_sh))
+    return lambda proxies: _predict(variables, assets,
+                                    shard_batch(proxies, mesh))
 
 
 def load_cached_proxies(proxy_dir: str, img_wh: int,
@@ -215,9 +213,13 @@ def crop_image_like_proxy(sil: np.ndarray, img: np.ndarray,
     rows = np.flatnonzero(sil.any(axis=1))
     cols = np.flatnonzero(sil.any(axis=0))
     if len(rows) == 0 or len(cols) == 0:
-        return img
-    r0, r1 = rows[0], rows[-1]          # inclusive, like mask_bounding_box
-    c0, c1 = cols[0], cols[-1]
+        # Empty mask: mask_bounding_box yields all-zero bounds, so the
+        # device crop degenerates to 1px at the origin — mirror it rather
+        # than returning a frame the camera doesn't live in.
+        r0 = r1 = c0 = c1 = 0
+    else:
+        r0, r1 = rows[0], rows[-1]      # inclusive, like mask_bounding_box
+        c0, c1 = cols[0], cols[-1]
     centre_r, centre_c = (r0 + r1) / 2.0, (c0 + c1) / 2.0
     wh = max(r1 - r0, c1 - c0) * scale_factor
     top_r, top_c = int(centre_r - wh / 2.0), int(centre_c - wh / 2.0)
