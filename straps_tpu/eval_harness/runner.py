@@ -38,24 +38,33 @@ def load_eval_npz(path: str) -> Dict[str, np.ndarray]:
 
 def synthesise_proxy_inputs(poses: np.ndarray, shapes: np.ndarray, assets,
                             img_wh: int, focal_length: float = None,
-                            cam_t=(0.0, 0.2, 42.0)
+                            cam_t=(0.0, 0.2, 42.0), chunk: int = 16
                             ) -> Tuple[np.ndarray, np.ndarray]:
     """Render GT meshes to silhouettes + project GT joints (synthetic-eval
-    mode for when a dataset ships no images/detections)."""
-    B = poses.shape[0]
+    mode for when a dataset ships no images/detections).
+
+    Rendered in `chunk`-sized sub-batches: the XLA raster path holds
+    (B, FACE_CHUNK, H*W) coverage temporaries, which at a whole-dataset B
+    exceeds HBM (observed 17G at B=64 256^2 on a 16G v5e)."""
+    from straps_tpu.geometry import perspective_project
+
     if focal_length is None:
         # Reference convention: focal 5000 at 256px; scale with resolution.
         focal_length = 5000.0 * img_wh / 256.0
     K = jnp.asarray(get_intrinsics_matrix(img_wh, img_wh, focal_length))
-    t = jnp.tile(jnp.asarray(cam_t, jnp.float32), (B, 1))
-    out = smpl_forward_axis_angle(assets, jnp.asarray(shapes),
-                                  jnp.asarray(poses))
-    sil, _ = render_silhouette(out.vertices, t, K, assets.faces, img_wh,
-                               backend="xla")
-    from straps_tpu.geometry import perspective_project
-    _, coco = select_joint_sets(out.joints)
-    j2d = perspective_project(coco, jnp.eye(3), t, K)
-    return np.asarray(sil), np.asarray(j2d)
+    sils, j2ds = [], []
+    for s in range(0, poses.shape[0], chunk):
+        po = jnp.asarray(poses[s:s + chunk])
+        sh = jnp.asarray(shapes[s:s + chunk])
+        t = jnp.tile(jnp.asarray(cam_t, jnp.float32), (po.shape[0], 1))
+        out = smpl_forward_axis_angle(assets, sh, po)
+        sil, _ = render_silhouette(out.vertices, t, K, assets.faces, img_wh,
+                                   backend="xla")
+        _, coco = select_joint_sets(out.joints)
+        j2d = perspective_project(coco, jnp.eye(3), t, K)
+        sils.append(np.asarray(sil))
+        j2ds.append(np.asarray(j2d))
+    return np.concatenate(sils), np.concatenate(j2ds)
 
 
 def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
