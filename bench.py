@@ -98,6 +98,10 @@ def main():
         "value": round(tpu_ips, 2),
         "unit": "inferences/sec",
         "vs_baseline": round(vs_baseline, 2),
+        # The TPU leg runs the requested compute dtype (default bf16 encoder,
+        # f32 SMPL math); the CPU baseline leg is always f32 — the ratio is
+        # deliberately best-serving-point vs reference-precision CPU.
+        "config": f"tpu:batch={batch},dtype={dtype}; cpu:f32",
     }))
 
 

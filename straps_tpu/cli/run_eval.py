@@ -29,6 +29,12 @@ def main(argv=None):
                         choices=["clean", "legacy"],
                         help="'legacy' = reference-exact grid, for "
                              "converted reference checkpoints")
+    parser.add_argument("--iou-frame", default="crop",
+                        choices=["crop", "image"],
+                        help="silhouette-IoU comparison frame: 'crop' (the "
+                             "proxy crop the camera lives in) or 'image' "
+                             "(raw image frame via the inverse crop affine "
+                             "— the paper's SSP-3D mIoU protocol)")
     parser.add_argument("--data-parallel-devices", type=int, default=0,
                         help="fan the eval batch out over a data mesh of "
                              "this many chips (0 = single device); "
@@ -47,7 +53,7 @@ def main(argv=None):
                            batch_size=args.batch_size,
                            save_per_frame=args.save_per_frame is not None,
                            save_path=args.save_per_frame,
-                           mesh=mesh)
+                           mesh=mesh, iou_frame=args.iou_frame)
     print(json.dumps({k: float(v) for k, v in final.items()}, indent=2))
 
 

@@ -67,6 +67,43 @@ def synthesise_proxy_inputs(poses: np.ndarray, shapes: np.ndarray, assets,
     return np.concatenate(sils), np.concatenate(j2ds)
 
 
+def silhouette_crop_box(sil: np.ndarray, scale_factor: float = 1.2):
+    """Host mirror of `crop_and_resize_padded`'s square-bbox math
+    (`geometry/bbox.py:126-148`, same int32 truncation): returns
+    (top_r, top_c, crop_h, crop_w) of the crop the proxy was built in."""
+    sil = np.asarray(sil) > 0
+    rows = np.flatnonzero(sil.any(axis=1))
+    cols = np.flatnonzero(sil.any(axis=0))
+    if len(rows) == 0 or len(cols) == 0:
+        return 0, 0, 1, 1
+    r0, r1 = int(rows[0]), int(rows[-1])
+    c0, c1 = int(cols[0]), int(cols[-1])
+    centre_r, centre_c = (r0 + r1) / 2.0, (c0 + c1) / 2.0
+    wh = max(r1 - r0, c1 - c0) * scale_factor
+    top_r, top_c = int(centre_r - wh / 2.0), int(centre_c - wh / 2.0)
+    bot_r, bot_c = int(centre_r + wh / 2.0), int(centre_c + wh / 2.0)
+    return top_r, top_c, max(bot_r - top_r, 1), max(bot_c - top_c, 1)
+
+
+def paste_crop_to_image_frame(crop_sil: np.ndarray, box,
+                              out_h: int, out_w: int) -> np.ndarray:
+    """Inverse crop affine: nearest-resize a crop-frame silhouette back to
+    its (crop_h, crop_w) box and paste into a zeroed (out_h, out_w) image
+    canvas — the map that undoes `crop_and_resize_padded`."""
+    import cv2
+
+    top_r, top_c, ch, cw = box
+    canvas = np.zeros((out_h, out_w), np.float32)
+    resized = cv2.resize(np.asarray(crop_sil, np.float32), (cw, ch),
+                         interpolation=cv2.INTER_NEAREST)
+    r0, c0 = max(top_r, 0), max(top_c, 0)
+    r1, c1 = min(top_r + ch, out_h), min(top_c + cw, out_w)
+    if r1 > r0 and c1 > c0:
+        canvas[r0:r1, c0:c1] = resized[r0 - top_r:r1 - top_r,
+                                       c0 - top_c:c1 - top_c]
+    return canvas
+
+
 def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
                    metrics=("pves", "pves_sc", "pves_pa", "pve-ts",
                             "pve-ts_sc", "mpjpes", "mpjpes_sc", "mpjpes_pa",
@@ -75,7 +112,8 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
                    save_per_frame: bool = False,
                    save_path: Optional[str] = None,
                    gender_assets: Optional[Dict] = None,
-                   mesh=None) -> Dict[str, float]:
+                   mesh=None,
+                   iou_frame: str = "crop") -> Dict[str, float]:
     """Evaluate a checkpoint on an SSP-3D/3DPW-style dataset.
 
     Protocol fidelity vs `metrics/eval_metrics_tracker.py:45-190`:
@@ -85,13 +123,22 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
       * ground truth goes through the *per-sample* gendered body model
         (SSP-3D batches are mixed-gender);
       * silhouette IoU compares prediction and annotation in the SAME
-        frame: the predicted mesh is rendered with the crop-frame
-        weak-perspective camera the regressor actually emitted, against the
-        dataset silhouette put through the identical crop (proxy channel 0)
-        — the reference tracker (`eval_metrics_tracker.py:158-178`) receives
-        driver-aligned masks; GT meshes are only re-rendered when the
-        dataset has no silhouettes (synthetic-eval mode).
+        frame, selected by `iou_frame`:
+        - "crop" (default): the predicted mesh is rendered with the
+          crop-frame weak-perspective camera the regressor actually emitted,
+          against the dataset silhouette put through the identical crop
+          (proxy channel 0);
+        - "image": the crop-frame render is mapped back through the INVERSE
+          crop affine and compared against the raw dataset silhouette at
+          image resolution — the SSP-3D protocol the paper's mIoU ~0.80 is
+          reported under (`metrics/eval_metrics_tracker.py:158-178` receives
+          image-frame masks in the reference's intended driver).
+        GT meshes are only re-rendered when the dataset has no silhouettes
+        (synthetic-eval mode; crop-frame IoU only).
     """
+    if iou_frame not in ("crop", "image"):
+        raise ValueError(f"iou_frame must be 'crop' or 'image', "
+                         f"got {iou_frame!r}")
     assets = load_assets(cfg.smpl_dir)
     # Gendered models when available (SSP-3D protocol); neutral otherwise.
     if gender_assets is None:
@@ -153,7 +200,7 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
         sh_b, po_b = jnp.asarray(shapes[idx]), jnp.asarray(poses[idx])
         gt_verts = np.zeros((batch_size, assets.v_template.shape[0], 3),
                             np.float32)
-        gt_joints = np.zeros((batch_size, 90, 3), np.float32)
+        gt_joints = None  # shape derived from the first forward's superset
         gt_reposed_v = np.zeros_like(gt_verts)
         for g in sorted(set(batch_g)):
             ga = gender_assets.get(g, assets)
@@ -163,6 +210,9 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
             # One batched pull per gender (CLAUDE.md host<->device rule).
             v_np, j_np, rv_np = jax.device_get(
                 (o.vertices, o.joints, r.vertices))
+            if gt_joints is None:
+                gt_joints = np.zeros((batch_size,) + j_np.shape[1:],
+                                     np.float32)
             gt_verts[m] = v_np[m]
             gt_joints[m] = j_np[m]
             gt_reposed_v[m] = rv_np[m]
@@ -177,10 +227,22 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
             pred_sil, _ = render_silhouette(
                 pred["verts"], jnp.asarray(pred["cam_t"]), K, assets.faces,
                 img_wh, backend="xla")
-            pred_dict["silhouettes"] = pred_sil
-            # Crop-frame IoU: the dataset silhouette through the same crop
-            # the proxy (and therefore cam_t) lives in.
-            target_dict["silhouettes"] = proxies[..., 0]
+            if iou_frame == "image":
+                # Undo the crop per sample and compare at image resolution
+                # (the paper's SSP-3D protocol).
+                pred_np = np.asarray(pred_sil)
+                img_h, img_w = sils.shape[1:3]
+                pred_dict["silhouettes"] = np.stack([
+                    paste_crop_to_image_frame(
+                        pred_np[b], silhouette_crop_box(sils[idx[b]]),
+                        img_h, img_w)
+                    for b in range(batch_size)])
+                target_dict["silhouettes"] = sils[idx]
+            else:
+                pred_dict["silhouettes"] = pred_sil
+                # Crop-frame IoU: the dataset silhouette through the same
+                # crop the proxy (and therefore cam_t) lives in.
+                target_dict["silhouettes"] = proxies[..., 0]
 
         pf = compute_per_frame_metrics(
             tuple(metrics), pred_dict, target_dict, img_wh,

@@ -35,7 +35,10 @@ def joints_to_gaussian_heatmaps(joints2d: jnp.ndarray, img_wh: int,
       reference convention (`utils/label_conversions.py:90-127`) up to its
       grid quirks; joints are truncated to ints, and joints whose centre
       lies further than 2*std outside the image produce empty maps.
-    * ``"legacy"``: bit-exact reproduction of the reference torch path
+    * ``"legacy"``: reproduction of the reference torch path, exact to float
+      tolerance (parity asserted at atol 1e-5 — the separable gx*gy product
+      differs at the ulp level from torch's joint-exponent
+      exp(-(x^2+y^2)/2std^2))
       (`utils/label_conversions.py:90-127`), including its quirks: the
       Gaussian window is sampled on ``linspace(-2std, 2std, 4std)`` (step
       4std/(4std-1), so sample k sits at a *non-integer* offset), and the

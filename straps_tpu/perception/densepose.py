@@ -21,7 +21,8 @@ NUM_COARSE_SEG = 15
 
 
 class DensePoseHead(nn.Module):
-    """V1ConvX: 8 x conv3x3(512) on (R, 28, 28, C) ROI features."""
+    """V1ConvX: 8 x conv3x3(512) on (R, 14, 14, C) ROI features
+    (POOLER_RESOLUTION=14, `DensePose/densepose/config.py:26`)."""
     conv_dim: int = 512
     num_convs: int = 8
 

@@ -80,6 +80,63 @@ def _resize_for_test(image_rgb: np.ndarray, test_size) -> np.ndarray:
                       interpolation=cv2.INTER_LINEAR)
 
 
+def make_batched_apply_fn(model, variables):
+    """One jitted, image-batched apply: the per-image model vmapped over a
+    stacked (N, H, W, 3) batch.  O(1) jitted calls per folder instead of the
+    reference's per-image GPU round trips (`predict/predict_3D.py:100-114`);
+    variables ride as jit arguments (see `make_apply_fn`)."""
+    jitted = jax.jit(jax.vmap(lambda v, img: model.apply(v, img),
+                              in_axes=(None, 0)))
+    return lambda batch: jitted(variables, batch)
+
+
+def run_detector_batched(model, variables, images_rgb, test_size=None,
+                         chunk: int = 8, apply_fn=None) -> dict:
+    """Run a detector over a list of same-size images with ceil(N/chunk)
+    jitted calls (static shapes: the final partial chunk is padded by
+    repeating the last image and sliced off).  Returns the model's output
+    dict with a leading image axis, pulled to host in one transfer per
+    chunk."""
+    from straps_tpu.perception.rcnn import normalise_image
+
+    if apply_fn is None:
+        apply_fn = make_batched_apply_fn(model, variables)
+    n = len(images_rgb)
+    inputs = np.stack([normalise_image(_resize_for_test(im, test_size))
+                       for im in images_rgb])
+    idx_all = np.concatenate([np.arange(n),
+                              np.full((-n) % chunk, n - 1, np.int64)])
+    outs = []
+    for s in range(0, len(idx_all), chunk):
+        batch = jnp.asarray(inputs[idx_all[s:s + chunk]])
+        outs.append(jax.device_get(apply_fn(batch)))
+    return {k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
+
+
+def select_keypoints(out: dict, i: int, fw: int, fh: int) -> np.ndarray:
+    """Per-image selection on batched detector outputs -> (17, 3) keypoints
+    [x, y, score] (zeros when nobody was found — `predict_joints2D.py:45-52`)."""
+    valid = np.asarray(out["valid"][i]).astype(bool)
+    if not valid.any():
+        return np.zeros((17, 3), np.float32)
+    idx = get_largest_centred_box_index(out["boxes"][i], valid, fw, fh)
+    kp = np.asarray(out["keypoints"][i][idx])
+    ks = np.asarray(out["keypoint_scores"][i][idx])
+    return np.concatenate([kp, ks[:, None]], axis=1)
+
+
+def select_silhouette(out: dict, i: int):
+    """Per-image selection on batched detector outputs -> ((H, W) float32
+    silhouette, selected instance index or None)."""
+    valid = np.asarray(out["valid"][i]).astype(bool)
+    masks = np.asarray(out["masks"][i])
+    mh, mw = masks.shape[-2:]
+    if not valid.any():
+        return np.zeros((mh, mw), np.float32), None
+    idx = get_largest_centred_mask_index(masks, valid, mw, mh)
+    return masks[idx].astype(np.float32), idx
+
+
 def predict_joints2d(image_rgb: np.ndarray, model, variables,
                      apply_fn=None,
                      test_size=None) -> Tuple[np.ndarray, np.ndarray]:

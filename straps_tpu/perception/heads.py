@@ -108,7 +108,9 @@ def keypoint_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray,
 
 
 def pooled_box_features(fpn_feats: List[jnp.ndarray], boxes: jnp.ndarray,
-                        output_size: int) -> jnp.ndarray:
-    """ROIAlign over P2-P5 with FPN level assignment."""
+                        output_size: int,
+                        aligned: bool = True) -> jnp.ndarray:
+    """ROIAlign over P2-P5 with FPN level assignment (`aligned=False` =
+    the legacy ROIAlign pooler type DensePose configures)."""
     return multilevel_roi_align(fpn_feats[:4], boxes, (4, 8, 16, 32),
-                                output_size)
+                                output_size, aligned=aligned)

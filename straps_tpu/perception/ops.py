@@ -148,10 +148,15 @@ def bilinear_sample(features: jnp.ndarray, x: jnp.ndarray,
             + tap(x0i, y0i + 1) * w10 + tap(x0i + 1, y0i + 1) * w11)
 
 
-@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                             "aligned"))
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
-              output_size: int, sampling_ratio: int = 2) -> jnp.ndarray:
-    """ROIAlign (aligned=True, detectron2 ROIAlignV2 semantics).
+              output_size: int, sampling_ratio: int = 2,
+              aligned: bool = True) -> jnp.ndarray:
+    """ROIAlign. `aligned=True` is detectron2's ROIAlignV2 (half-pixel
+    shift); `aligned=False` is the legacy "ROIAlign" pooler type the
+    DensePose configs select (`DensePose/configs/Base-DensePose-RCNN-FPN.yaml`
+    POOLER_TYPE, no shift).
 
     Args:
       features: (H, W, C) one feature level.
@@ -159,7 +164,7 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
     Returns:
       (R, output_size, output_size, C) pooled features.
     """
-    boxes_f = boxes * spatial_scale - 0.5   # aligned=True half-pixel shift
+    boxes_f = boxes * spatial_scale - (0.5 if aligned else 0.0)
     x1, y1, x2, y2 = (boxes_f[:, i] for i in range(4))
     rw = jnp.maximum(x2 - x1, 1e-6)
     rh = jnp.maximum(y2 - y1, 1e-6)
@@ -187,7 +192,8 @@ def multilevel_roi_align(features_per_level, boxes: jnp.ndarray,
                          strides, output_size: int,
                          canonical_level: int = 4,
                          canonical_size: float = 224.0,
-                         sampling_ratio: int = 2) -> jnp.ndarray:
+                         sampling_ratio: int = 2,
+                         aligned: bool = True) -> jnp.ndarray:
     """FPN level assignment + per-level ROIAlign, summed via level masks
     (detectron2 `assign_boxes_to_levels`: level = floor(4 + log2(sqrt(area)
     / 224))), static-shape (every box pooled at every level, masked)."""
@@ -202,7 +208,7 @@ def multilevel_roi_align(features_per_level, boxes: jnp.ndarray,
     out = None
     for i, (feat, stride) in enumerate(zip(features_per_level, strides)):
         pooled = roi_align(feat, boxes, 1.0 / stride, output_size,
-                           sampling_ratio)
+                           sampling_ratio, aligned)
         mask = (lvl == (min_l + i)).astype(pooled.dtype)[:, None, None, None]
         out = pooled * mask if out is None else out + pooled * mask
     return out

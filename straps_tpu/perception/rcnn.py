@@ -59,6 +59,10 @@ class DetectionTrunk(nn.Module):
     max_detections: int = MAX_DETECTIONS
     backbone_depth: int = 50
     num_classes: int = 1
+    # detectron2 ROI_BOX_HEAD.POOLER_TYPE: ROIAlignV2 (aligned) for the
+    # KP/PointRend configs, legacy "ROIAlign" for DensePose
+    # (`DensePose/configs/Base-DensePose-RCNN-FPN.yaml`).
+    box_pooler_aligned: bool = True
 
     @nn.compact
     def __call__(self, image: jnp.ndarray):
@@ -75,7 +79,8 @@ class DetectionTrunk(nn.Module):
         proposals, p_scores, p_valid = generate_proposals(
             logits, deltas, anchors, img_size,
             post_nms_topk=self.post_nms_topk)
-        roi = pooled_box_features(feats, proposals, 7)
+        roi = pooled_box_features(feats, proposals, 7,
+                                  aligned=self.box_pooler_aligned)
         scores, box_deltas = BoxHead(num_classes=self.num_classes,
                                      name="box_head")(roi)
         det_boxes, det_scores, det_valid = box_inference(
@@ -156,8 +161,13 @@ class DensePoseRCNN(nn.Module):
         feats, boxes, scores, valid = DetectionTrunk(
             post_nms_topk=self.post_nms_topk,
             max_detections=self.max_detections,
-            backbone_depth=self.backbone_depth, name="trunk")(image)
-        dp_roi = pooled_box_features(feats, boxes, 28)
+            backbone_depth=self.backbone_depth,
+            box_pooler_aligned=False, name="trunk")(image)
+        # POOLER_RESOLUTION=14, legacy-ROIAlign pooler type
+        # (`DensePose/densepose/config.py:26-27` defaults + the base yaml's
+        # POOLER_TYPE override); head keeps 14^2, predictor deconv doubles to
+        # 28^2 and the 2x bilinear reaches HEATMAP_SIZE=56.
+        dp_roi = pooled_box_features(feats, boxes, 14, aligned=False)
         x = DensePoseHead(name="densepose_head")(dp_roi)
         s, i, u, v = DensePosePredictor(name="densepose_predictor")(x)
         part, u_sel, v_sel = densepose_to_iuv(s, i, u, v)

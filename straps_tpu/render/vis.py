@@ -44,11 +44,17 @@ def shade_depth(depth: np.ndarray, background: float = 1e30) -> np.ndarray:
 
 
 def render_body_vis(verts: np.ndarray, cam_wp: np.ndarray, assets,
-                    img_wh: int = 512, image: Optional[np.ndarray] = None
-                    ) -> np.ndarray:
+                    img_wh: int = 512, image: Optional[np.ndarray] = None,
+                    rotate_x180: bool = False) -> np.ndarray:
     """Shaded body render from predicted verts + weak-perspective camera,
     optionally composited over the input image (the reference's rend_vis
-    output, `predict/predict_3D.py:168-176`)."""
+    output, `predict/predict_3D.py:168-176`).
+
+    `rotate_x180` applies a 180-degree rotation about the x axis before
+    rendering — the reference's reposed T-pose view passes angle=180,
+    axis=[1,0,0] (`predict_3D.py:172-176`)."""
+    if rotate_x180:
+        verts = np.asarray(verts) * np.asarray([1.0, -1.0, -1.0], np.float32)
     cam_t = np.asarray(weak_perspective_to_camera_translation(
         jnp.asarray(cam_wp)[None], 5000.0 * img_wh / 512.0, img_wh))[0]
     K = jnp.asarray(get_intrinsics_matrix(img_wh, img_wh,
@@ -97,8 +103,9 @@ def scatter_vis(verts: np.ndarray, out_path: str):
 
 
 def proxy_vis(proxy: np.ndarray, out_path: str):
-    """Silhouette + summed heatmaps image (reference proxy_vis,
-    `predict/predict_3D.py:178-183`)."""
+    """Silhouette + summed heatmaps image — fallback proxy visualisation for
+    cached-proxy runs, where the detector vis images below cannot be built
+    (no source image)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -107,3 +114,94 @@ def proxy_vis(proxy: np.ndarray, out_path: str):
     img = np.clip(sil + hm, 0, 1)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     plt.imsave(out_path, img, cmap="gray")
+
+
+def keypoints_vis(image_rgb: np.ndarray, keypoints: np.ndarray) -> np.ndarray:
+    """Detector-frame keypoint annotation: green filled circle + red joint
+    index per keypoint (`predict/predict_joints2D.py:53-59`)."""
+    import cv2
+    img = np.ascontiguousarray(np.asarray(image_rgb, np.uint8).copy())
+    kp = np.asarray(keypoints)
+    for j in range(kp.shape[0]):
+        x, y = int(round(float(kp[j, 0]))), int(round(float(kp[j, 1])))
+        cv2.circle(img, (x, y), 5, (0, 255, 0), -1)
+        cv2.putText(img, str(j), (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                    (255, 0, 0), lineType=2)  # red in RGB frames
+    return img
+
+
+def silhouette_overlay_vis(image_rgb: np.ndarray,
+                           mask: np.ndarray) -> np.ndarray:
+    """Half-opacity white-mask overlay
+    (`predict/predict_silhouette_pointrend.py:53-57`)."""
+    import cv2
+    img = np.asarray(image_rgb, np.uint8)
+    m3 = np.tile((np.asarray(mask) > 0.5).astype(np.uint8)[:, :, None] * 255,
+                 (1, 1, 3))
+    return cv2.addWeighted(img, 1.0, m3, 0.5, 0)
+
+
+def apply_colormap(image: np.ndarray, vmin=None, vmax=None,
+                   cmap: str = "viridis") -> np.ndarray:
+    """Matplotlib colormap applied to a scalar image -> uint8 RGBA
+    (`predict/predict_densepose.py:18-45` semantics, minus its random
+    discrete-cmap branch which STRAPS never uses)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    img = np.asarray(image, np.float64)
+    imin = float(vmin) if vmin is not None else img.min()
+    imax = float(vmax) if vmax is not None else img.max()
+    img = np.clip(img, imin, imax)
+    img = (img - imin) / max(imax - imin, 1e-12)
+    return plt.get_cmap(cmap)(img, bytes=True)
+
+
+def densepose_overlay_vis(image_rgb: np.ndarray,
+                          i_image: np.ndarray) -> np.ndarray:
+    """DensePose I-channel colormap blended over the image
+    (`predict/predict_densepose.py:105-115`: viridis on [0, 24], black at
+    background, 0.6/0.4 blend)."""
+    import cv2
+    vis_i = apply_colormap(i_image, vmin=0, vmax=24)[:, :, :3]
+    vis_i[np.asarray(i_image) == 0, :] = 0
+    return cv2.addWeighted(np.asarray(image_rgb, np.uint8), 0.6,
+                           vis_i.astype(np.uint8), 0.4, 0)
+
+
+def verts_over_image_vis(verts2d: np.ndarray, image_rgb: np.ndarray,
+                         out_path: str):
+    """Projected 2D vertices scattered OVER the cropped input image — the
+    reference's verts_vis content (`predict/predict_3D.py:159-167`)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    v = np.asarray(verts2d)
+    fig = plt.figure()
+    plt.imshow(np.asarray(image_rgb, np.uint8))
+    plt.scatter(v[:, 0], v[:, 1], s=0.3)
+    plt.gca().set_axis_off()
+    plt.subplots_adjust(top=1, bottom=0, right=1, left=0, hspace=0, wspace=0)
+    plt.margins(0, 0)
+    plt.gca().xaxis.set_major_locator(plt.NullLocator())
+    plt.gca().yaxis.set_major_locator(plt.NullLocator())
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+
+
+def paste_roi_map(roi_map: np.ndarray, box_xyxy: np.ndarray, out_h: int,
+                  out_w: int) -> np.ndarray:
+    """Nearest-resize a per-ROI label map into its box in a zeroed
+    (out_h, out_w) canvas — the I-channel paste of
+    `predict/predict_densepose.py:95-101`."""
+    import cv2
+    x1, y1, x2, y2 = [int(round(float(c))) for c in np.asarray(box_xyxy)]
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2, y2 = min(x2, out_w), min(y2, out_h)
+    canvas = np.zeros((out_h, out_w), np.asarray(roi_map).dtype)
+    if x2 > x1 and y2 > y1:
+        canvas[y1:y2, x1:x2] = cv2.resize(
+            np.asarray(roi_map), (x2 - x1, y2 - y1),
+            interpolation=cv2.INTER_NEAREST)
+    return canvas

@@ -122,13 +122,20 @@ def derive_face_parts_from_cube(faces: np.ndarray, vertex_texture: np.ndarray,
     composition of the two is a static per-face part id, so we precompute it
     once instead of decoding per pixel per step.
     """
-    # vertex_texture: (1, F, ts, ts, ts, 3) constant per face.
-    tex = np.asarray(vertex_texture)
-    while tex.ndim > 2:
-        tex = tex[..., 0, :] if tex.shape[-2] != 3 else tex.reshape(tex.shape[0], -1, 3)[:, 0, :]
-    tex = tex.reshape(-1, 3)
+    # vertex_texture: (1, F, ts, ts, ts, 3), constant colour per face — take
+    # texture sample (0, 0, 0) of each face.  Flattening keeps the ts^3
+    # samples of one face contiguous, so reshape (F, ts^3, 3) is exact.
+    n_faces = int(np.asarray(faces).shape[0])
+    tex = np.asarray(vertex_texture, dtype=np.float64).reshape(-1, 3)
+    if tex.shape[0] != n_faces:
+        if tex.shape[0] % n_faces != 0:
+            raise ValueError(
+                f"vertex_texture has {tex.shape[0]} colour samples, not a "
+                f"multiple of {n_faces} faces")
+        tex = tex.reshape(n_faces, -1, 3)[:, 0, :]
     idx = np.floor(100.0 * tex).astype(np.int64)
     cp = np.asarray(cube_parts)
+    np.clip(idx, 0, np.asarray(cp.shape)[None, :] - 1, out=idx)
     return cp[idx[:, 0], idx[:, 1], idx[:, 2]].astype(np.int32)
 
 

@@ -50,8 +50,8 @@ def build_training(cfg: TrainConfig, assets=None):
     state = create_train_state(variables["params"], variables["batch_stats"],
                                log_vars, tx)
     mesh = make_mesh(cfg.data_parallel_devices)
-    train_step = make_train_step(model, assets, cfg, tx)
-    val_step = make_val_step(model, assets, cfg)
+    train_step = make_train_step(model, assets, cfg, tx, mesh=mesh)
+    val_step = make_val_step(model, assets, cfg, mesh=mesh)
     return model, assets, state, tx, train_step, val_step, mesh
 
 

@@ -77,16 +77,29 @@ def _forward_and_dicts(model, params, batch_stats, log_vars,
                    new_batch_stats))
 
 
-def make_train_step(model, assets: SmplAssets, cfg: TrainConfig, tx):
+def _assets_as_device_args(assets: SmplAssets, mesh):
+    """Place SMPL assets on device ONCE so they ride each step as ordinary
+    jit arguments.  Closing the jit over them would bake ~17MB of posedirs
+    into the executable as constants (CLAUDE.md: the axon remote-compile
+    service rejects big constant-laden programs with HTTP 413)."""
+    if mesh is not None:
+        from straps_tpu.parallel.mesh import replicate
+        return replicate(assets, mesh)
+    return jax.device_put(assets)
+
+
+def make_train_step(model, assets: SmplAssets, cfg: TrainConfig, tx,
+                    mesh=None):
     """Build the jitted training step.
 
     Returns fn(state, key, pose (B,72), shape (B,10)) ->
       (new_state, loss, task_losses, per_frame_metrics)
     """
     metrics = tuple(cfg.metrics_to_track)
+    assets_dev = _assets_as_device_args(assets, mesh)
 
     @jax.jit
-    def train_step(state: TrainState, key, pose, shape):
+    def train_step(state: TrainState, key, pose, shape, assets: SmplAssets):
         batch = generate_synthetic_batch(key, pose, shape, assets, cfg,
                                          augment=True)
 
@@ -112,16 +125,18 @@ def make_train_step(model, assets: SmplAssets, cfg: TrainConfig, tx):
             target_reposed=batch.target_reposed_verts)
         return new_state, loss, task_losses, per_frame
 
-    return train_step
+    return lambda state, key, pose, shape: train_step(
+        state, key, pose, shape, assets_dev)
 
 
-def make_val_step(model, assets: SmplAssets, cfg: TrainConfig):
+def make_val_step(model, assets: SmplAssets, cfg: TrainConfig, mesh=None):
     """Validation step: no augmentation, fixed mean camera, no update
     (`train_synthetic_otf_rendering.py:245-348`)."""
     metrics = tuple(cfg.metrics_to_track)
+    assets_dev = _assets_as_device_args(assets, mesh)
 
     @jax.jit
-    def val_step(state: TrainState, key, pose, shape):
+    def val_step(state: TrainState, key, pose, shape, assets: SmplAssets):
         batch = generate_synthetic_batch(key, pose, shape, assets, cfg,
                                          augment=False)
         loss, aux = _forward_and_dicts(model, state.params, state.batch_stats,
@@ -134,4 +149,5 @@ def make_val_step(model, assets: SmplAssets, cfg: TrainConfig):
             target_reposed=batch.target_reposed_verts)
         return loss, task_losses, per_frame
 
-    return val_step
+    return lambda state, key, pose, shape: val_step(
+        state, key, pose, shape, assets_dev)

@@ -12,6 +12,7 @@ from straps_tpu.eval_harness import run_evaluation, synthesise_proxy_inputs
 from straps_tpu.predict import (
     silhouette_joints_to_proxy, predict_3d, densepose_iuv_to_silhouette,
 )
+from straps_tpu.predict.proxy import batch_silhouettes_joints_to_proxies
 from straps_tpu.smpl import load_synthetic_assets
 
 
@@ -287,3 +288,46 @@ class TestPredictMeshFanout:
             np.testing.assert_allclose(np.asarray(fanned[k]),
                                        np.asarray(single[k]),
                                        atol=5e-5, rtol=1e-4)
+
+
+class TestImageFrameIoU:
+    def test_inverse_crop_affine_round_trip(self):
+        """paste_crop_to_image_frame(silhouette_crop_box(...)) really inverts
+        the proxy crop: cropping a silhouette and mapping it back must
+        reproduce the original up to resample quantisation."""
+        from straps_tpu.eval_harness.runner import (
+            paste_crop_to_image_frame, silhouette_crop_box,
+        )
+
+        sil = np.zeros((512, 512), np.float32)
+        sil[90:400, 140:360] = 1.0
+        sil[200:260, 0:140] = 1.0          # off-centre arm, partially cropped
+        joints = np.random.RandomState(0).uniform(150, 350, (17, 2)).astype(
+            np.float32)
+        proxies, _ = batch_silhouettes_joints_to_proxies(
+            jnp.asarray(sil[None]), jnp.asarray(joints[None]), 256)
+        crop_sil = np.asarray(proxies[0, :, :, 0])
+
+        box = silhouette_crop_box(sil)
+        back = paste_crop_to_image_frame(crop_sil, box, 512, 512)
+        inter = np.logical_and(back > 0.5, sil > 0.5).sum()
+        union = np.logical_or(back > 0.5, sil > 0.5).sum()
+        # The crop box covers the torso; the out-of-box arm pixels cap the
+        # achievable IoU below 1 but the round trip must dominate.
+        assert inter / union > 0.85, inter / union
+
+    def test_image_frame_iou_end_to_end(self, tmp_path):
+        rng = np.random.RandomState(1)
+        n = 4
+        dataset = {
+            "poses": (rng.randn(n, 72) * 0.2).astype(np.float32),
+            "shapes": (rng.randn(n, 10) * 0.5).astype(np.float32),
+        }
+        cfg = PredictConfig(img_wh=64)
+        m_img = run_evaluation(dataset, cfg,
+                               metrics=("pves", "silhouette_ious"),
+                               batch_size=4, iou_frame="image")
+        assert 0.0 <= m_img["silhouette_ious"] <= 1.0
+        with pytest.raises(ValueError):
+            run_evaluation(dataset, cfg, metrics=("silhouette_ious",),
+                           batch_size=4, iou_frame="pixel")

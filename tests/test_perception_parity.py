@@ -315,3 +315,125 @@ class TestDeepLabHeadParity:
 
     def test_deeplab_head_nonlocal(self):
         self._run(nonlocal_on=True)
+
+
+@pytest.fixture(scope="module")
+def dp_setup():
+    """DensePose-RCNN twin: R101 trunk + 14^2 legacy-aligned DP pooler +
+    V1ConvX head + 4-branch predictor (VERDICT r2 #2 — the one perception
+    composition r2 never ran against an oracle)."""
+    from torch_twin_d2 import D2DensePoseRCNNTwin
+
+    torch.manual_seed(7)
+    twin = D2DensePoseRCNNTwin(depth=101)
+    randomize_bn_stats(twin, seed=8)
+    twin.eval()
+    variables = convert_d2_state(twin_state_to_d2(twin), arch="densepose")
+    image = np.random.RandomState(9).uniform(
+        -120, 130, (IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        tout = twin(torch.from_numpy(image), post_nms_topk=TOPK,
+                    max_detections=DETS, score_thresh=0.0)
+    return twin, variables, image, tout
+
+
+class TestDensePoseRCNNParity:
+    def test_r101_backbone_features(self, dp_setup):
+        _, variables, image, tout = dp_setup
+        bb_vars = {"params": variables["params"]["trunk"]["backbone"],
+                   "batch_stats":
+                       variables["batch_stats"]["trunk"]["backbone"]}
+        feats = ResNet50FPN(depth=101).apply(bb_vars,
+                                             jnp.asarray(image)[None])
+        for lvl, (j, t) in enumerate(zip(feats, tout["feats"])):
+            jf = np.asarray(j[0])
+            tf = _to_nhwc(t)[0]
+            scale = np.abs(tf).max() + 1e-6
+            np.testing.assert_allclose(jf, tf, atol=2e-3 * scale,
+                                       err_msg=f"P{lvl + 2} (R101)")
+
+    def test_legacy_roi_align(self, dp_setup):
+        """aligned=False ROIAlign (the DensePose pooler type) matches the
+        twin's implementation of the same spec."""
+        from torch_twin_d2 import d2_multilevel_roi_align as t_mlra
+
+        _, _, _, tout = dp_setup
+        boxes = np.asarray([[4.5, 7.25, 60.0, 90.5],
+                            [10.0, 20.0, 120.0, 126.0]], np.float32)
+        tfeats4 = [f for f in tout["feats"][:4]]
+        tpooled = t_mlra(tfeats4, torch.from_numpy(boxes), (4, 8, 16, 32),
+                         14, aligned=False)
+        jfeats4 = [jnp.asarray(_to_nhwc(f)[0]) for f in tfeats4]
+        jpooled = multilevel_roi_align(jfeats4, jnp.asarray(boxes),
+                                       (4, 8, 16, 32), 14, aligned=False)
+        np.testing.assert_allclose(np.asarray(jpooled), _to_nhwc(tpooled),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_densepose_head_predictor_and_labels(self, dp_setup):
+        """Head + predictor + label math on the SAME pooled ROI features."""
+        from straps_tpu.perception.densepose import (
+            DensePoseHead, DensePosePredictor, densepose_to_iuv,
+        )
+
+        twin, variables, image, tout = dp_setup
+        boxes_t = tout["boxes"].detach()
+        if len(boxes_t) == 0:
+            pytest.skip("no detections from random weights")
+        dp_roi_t = d2_multilevel_roi_align(tout["feats"][:4], boxes_t,
+                                           (4, 8, 16, 32), 14, aligned=False)
+        with torch.no_grad():
+            head_t = twin.roi_heads.densepose_head(dp_roi_t)
+            s_t, i_t, u_t, v_t = twin.roi_heads.densepose_predictor(head_t)
+
+        dh_vars = {"params": variables["params"]["densepose_head"]}
+        head_j = DensePoseHead().apply(dh_vars, jnp.asarray(_to_nhwc(dp_roi_t)))
+        np.testing.assert_allclose(np.asarray(head_j), _to_nhwc(head_t),
+                                   atol=1e-3, rtol=1e-3,
+                                   err_msg="V1ConvX head")
+        dp_vars = {"params": variables["params"]["densepose_predictor"]}
+        s_j, i_j, u_j, v_j = DensePosePredictor().apply(
+            dp_vars, jnp.asarray(_to_nhwc(head_t)))
+        for name, jarr, tarr in (("S", s_j, s_t), ("I", i_j, i_t),
+                                 ("U", u_j, u_t), ("V", v_j, v_t)):
+            np.testing.assert_allclose(np.asarray(jarr), _to_nhwc(tarr),
+                                       atol=1e-3, rtol=1e-3,
+                                       err_msg=f"predictor {name} "
+                                               "(deconv + 2x bilinear)")
+
+        # Label math (I argmax gated by S foreground) on identical logits.
+        part_j, u_sel, v_sel = densepose_to_iuv(
+            jnp.asarray(_to_nhwc(s_t)), jnp.asarray(_to_nhwc(i_t)),
+            jnp.asarray(_to_nhwc(u_t)), jnp.asarray(_to_nhwc(v_t)))
+        np.testing.assert_array_equal(np.asarray(part_j),
+                                      tout["part_index"].numpy())
+        assert part_j.shape[-1] == 56      # HEATMAP_SIZE (14 -> 28 -> 56)
+
+    def test_end_to_end_densepose_rcnn(self, dp_setup):
+        from straps_tpu.perception import DensePoseRCNN
+
+        twin, variables, image, tout = dp_setup
+        with torch.no_grad():
+            tout_e2e = twin(torch.from_numpy(image), post_nms_topk=TOPK,
+                            max_detections=DETS)   # real 0.05 threshold
+        model = DensePoseRCNN(post_nms_topk=TOPK, max_detections=DETS,
+                              backbone_depth=101)
+        out = model.apply(variables, jnp.asarray(image))
+        valid = np.asarray(out["valid"])
+        assert valid.any() == (len(tout_e2e["boxes"]) > 0)
+        if not valid.any():
+            return
+        np.testing.assert_allclose(np.asarray(out["boxes"])[valid][0],
+                                   tout_e2e["boxes"].numpy()[0], atol=0.1)
+        # Top detection's part map: backbone accumulation error can flip
+        # argmax at near-ties; demand near-total agreement.
+        pj = np.asarray(out["part_index"])[valid][0]
+        pt = tout_e2e["part_index"].numpy()[0]
+        assert (pj == pt).mean() > 0.98, (pj == pt).mean()
+        # And the pasted binary silhouette agrees.
+        mj = np.asarray(out["masks"])[valid][0] > 0.5
+        fg_t = d2_paste_mask(
+            torch.where(tout_e2e["part_index"][0] > 0,
+                        torch.full_like(tout_e2e["s"][0, 0], 6.0),
+                        torch.full_like(tout_e2e["s"][0, 0], -6.0)),
+            tout_e2e["boxes"][0], IMG).numpy()
+        assert (mj == (fg_t > 0.5)).mean() > 0.98

@@ -64,3 +64,64 @@ class TestVis:
 
     def test_part_colors_cover_convention(self):
         assert PART_COLORS.shape == (7, 3)  # bg + 6 parts
+
+
+class TestDetectorVis:
+    def test_keypoints_vis_draws(self):
+        from straps_tpu.render.vis import keypoints_vis
+        img = np.zeros((64, 64, 3), np.uint8)
+        kp = np.asarray([[32.0, 32.0, 0.9], [10.0, 50.0, 0.5]])
+        out = keypoints_vis(img, kp)
+        assert out.shape == (64, 64, 3)
+        assert out[32, 32, 1] == 255          # green circle centre
+        # input not mutated
+        assert img.sum() == 0
+
+    def test_silhouette_overlay_vis(self):
+        from straps_tpu.render.vis import silhouette_overlay_vis
+        img = np.full((32, 32, 3), 100, np.uint8)
+        mask = np.zeros((32, 32), np.float32)
+        mask[8:16, 8:16] = 1.0
+        out = silhouette_overlay_vis(img, mask)
+        # addWeighted(img, 1.0, 255*mask, 0.5): masked px brighten by ~127.5
+        assert out[10, 10, 0] in (227, 228)
+        assert np.all(out[0, 0] == 100)
+
+    def test_densepose_overlay_and_paste(self):
+        from straps_tpu.render.vis import densepose_overlay_vis, paste_roi_map
+        roi = np.full((8, 8), 12, np.int32)
+        i_img = paste_roi_map(roi, np.asarray([4.0, 6.0, 20.0, 22.0]), 32, 32)
+        assert i_img.shape == (32, 32)
+        assert i_img[7, 5] == 12 and i_img[0, 0] == 0
+        img = np.full((32, 32, 3), 50, np.uint8)
+        out = densepose_overlay_vis(img, i_img)
+        assert out.shape == (32, 32, 3)
+        # background stays 0.6 * img; foreground picks up colormap colour
+        assert np.all(out[0, 0] == 30)
+        assert out[7, 5].sum() > out[0, 0].sum()
+
+    def test_verts_over_image_vis(self, tmp_path):
+        from straps_tpu.render.vis import verts_over_image_vis
+        p = str(tmp_path / "v.png")
+        verts_over_image_vis(np.random.RandomState(0).rand(50, 2) * 64,
+                             np.zeros((64, 64, 3), np.uint8), p)
+        import os
+        assert os.path.getsize(p) > 0
+
+    def test_render_body_vis_rotate_x180(self):
+        from straps_tpu.render.vis import render_body_vis
+        from straps_tpu.smpl import load_synthetic_assets
+        assets = load_synthetic_assets()
+        cam = np.asarray([0.8, 0.0, -0.2], np.float32)
+        up = render_body_vis(np.asarray(assets.v_template), cam, assets,
+                             img_wh=64)
+        down = render_body_vis(np.asarray(assets.v_template), cam, assets,
+                               img_wh=64, rotate_x180=True)
+        assert up.shape == down.shape == (64, 64, 3)
+        fg_up = (up.sum(-1) > 0)
+        fg_down = (down.sum(-1) > 0)
+        assert fg_up.any() and fg_down.any()
+        # the flip moves the body: foreground rows mirror (roughly)
+        rows_up = np.flatnonzero(fg_up.any(axis=1))
+        rows_down = np.flatnonzero(fg_down.any(axis=1))
+        assert abs((rows_up.mean() - 32) + (rows_down.mean() - 32)) < 8

@@ -59,16 +59,18 @@ def batched_nms(boxes, scores, idxs, iou_threshold):
 
 def tv_roi_align(feat, rois, output_size, spatial_scale, sampling_ratio,
                  aligned=True):
-    """ROIAlignV2 (aligned=True, fixed sampling_ratio) on a (1, C, H, W)
-    feature map; rois: (R, 5) [batch, x1, y1, x2, y2]."""
-    assert aligned and feat.shape[0] == 1
+    """ROIAlign on a (1, C, H, W) feature map; rois: (R, 5)
+    [batch, x1, y1, x2, y2].  aligned=True is ROIAlignV2 (half-pixel
+    shift); aligned=False the legacy pooler type DensePose configures."""
+    assert feat.shape[0] == 1
     C, H, W = feat.shape[1:]
     R = rois.shape[0]
     out = torch.zeros(R, C, output_size, output_size)
     s = sampling_ratio
     grid = (torch.arange(output_size * s, dtype=torch.float32) + 0.5) / s
+    shift = 0.5 if aligned else 0.0
     for r in range(R):
-        x1, y1, x2, y2 = (rois[r, 1:] * spatial_scale - 0.5)
+        x1, y1, x2, y2 = (rois[r, 1:] * spatial_scale - shift)
         bw = (x2 - x1).clamp(min=1e-6) / output_size
         bh = (y2 - y1).clamp(min=1e-6) / output_size
         xs = x1 + bw * grid
@@ -377,8 +379,8 @@ def d2_proposals(logits, deltas, img_size, pre_nms_topk=1000,
 
 def d2_multilevel_roi_align(feats, boxes, strides, output_size,
                             sampling_ratio=2, canonical_level=4,
-                            canonical_size=224.0):
-    """ROIPooler with ROIAlignV2 + assign_boxes_to_levels."""
+                            canonical_size=224.0, aligned=True):
+    """ROIPooler with ROIAlign(V2) + assign_boxes_to_levels."""
     area = (boxes[:, 2] - boxes[:, 0]).clamp(min=0) * \
         (boxes[:, 3] - boxes[:, 1]).clamp(min=0)
     lvl = torch.floor(canonical_level +
@@ -393,7 +395,7 @@ def d2_multilevel_roi_align(feats, boxes, strides, output_size,
     rois = torch.cat([torch.zeros(R, 1), boxes], dim=1)
     for i, (f, s) in enumerate(zip(feats, strides)):
         pooled = tv_roi_align(f, rois, output_size, spatial_scale=1.0 / s,
-                              sampling_ratio=sampling_ratio, aligned=True)
+                              sampling_ratio=sampling_ratio, aligned=aligned)
         m = (lvl == (min_l + i)).view(R, 1, 1, 1).float()
         out = out + pooled * m
     return out
@@ -658,6 +660,102 @@ class DeepLabHeadTwin(nn.Module):
         for i in range(self.n_convs):
             x = F.relu(getattr(self, f"body_conv_fcn{i + 1}")(x))
         return x
+
+
+class DensePoseV1HeadTwin(nn.Module):
+    """DensePoseV1ConvXHead twin (densepose_head.py:271-301): 8 stacked
+    3x3 convs of width 512, each followed by ReLU; exact d2 child names
+    body_conv_fcn{i}."""
+
+    def __init__(self, cin=256, hidden=512, n_convs=8):
+        super().__init__()
+        self.n_convs = n_convs
+        c = cin
+        for i in range(n_convs):
+            self.add_module(f"body_conv_fcn{i + 1}",
+                            nn.Conv2d(c, hidden, 3, padding=1))
+            c = hidden
+
+    def forward(self, x):
+        for i in range(self.n_convs):
+            x = F.relu(getattr(self, f"body_conv_fcn{i + 1}")(x))
+        return x
+
+
+class DensePosePredictorTwin(nn.Module):
+    """DensePosePredictor twin (densepose_head.py:304-345): four k4/s2/p1
+    deconv branches (S: 15ch coarse seg, I/U/V: 25ch patches) + 2x bilinear
+    (align_corners=False)."""
+
+    def __init__(self, cin=512, n_segm=15, n_patches=25):
+        super().__init__()
+        self.ann_index_lowres = nn.ConvTranspose2d(cin, n_segm, 4, 2, 1)
+        self.index_uv_lowres = nn.ConvTranspose2d(cin, n_patches, 4, 2, 1)
+        self.u_lowres = nn.ConvTranspose2d(cin, n_patches, 4, 2, 1)
+        self.v_lowres = nn.ConvTranspose2d(cin, n_patches, 4, 2, 1)
+
+    def forward(self, x):
+        def interp2d(t):
+            return F.interpolate(t, scale_factor=2, mode="bilinear",
+                                 align_corners=False)
+
+        return (interp2d(self.ann_index_lowres(x)),
+                interp2d(self.index_uv_lowres(x)),
+                interp2d(self.u_lowres(x)),
+                interp2d(self.v_lowres(x)))
+
+
+class D2DensePoseRCNNTwin(nn.Module):
+    """DensePose-RCNN (R101-FPN s1x config): legacy-aligned ROIAlign box
+    pooler (Base-DensePose-RCNN-FPN.yaml POOLER_TYPE 'ROIAlign'), 14^2
+    DensePose pooler (config.py:26-27 defaults), V1ConvX head, 4-branch
+    predictor, `densepose_inference` label math
+    (roi_head.py:29-93, densepose_head.py:403-437)."""
+
+    def __init__(self, depth=101):
+        super().__init__()
+        self.backbone = Backbone(depth)
+        self.proposal_generator = nn.Module()
+        self.proposal_generator.rpn_head = RPNHead()
+        self.roi_heads = nn.Module()
+        self.roi_heads.box_head = BoxHead()
+        self.roi_heads.box_predictor = BoxPredictor(num_classes=1)
+        self.roi_heads.densepose_head = DensePoseV1HeadTwin()
+        self.roi_heads.densepose_predictor = DensePosePredictorTwin()
+
+    def forward(self, image, post_nms_topk=1000, max_detections=100,
+                score_thresh=0.05):
+        x = image.permute(2, 0, 1)[None]
+        img_size = image.shape[0]
+        feats = self.backbone(x)
+        logits, deltas = self.proposal_generator.rpn_head(feats)
+        proposals, _ = d2_proposals(logits, deltas, img_size,
+                                    post_nms_topk=post_nms_topk)
+        roi = d2_multilevel_roi_align(feats[:4], proposals, (4, 8, 16, 32),
+                                      7, aligned=False)
+        feats_fc = self.roi_heads.box_head(roi)
+        cls = self.roi_heads.box_predictor.cls_score(feats_fc)
+        bbx = self.roi_heads.box_predictor.bbox_pred(feats_fc)
+        boxes, scores = d2_box_inference(cls, bbx, proposals, img_size,
+                                         topk=max_detections,
+                                         score_thresh=score_thresh)
+        R = boxes.shape[0]
+        if R == 0:
+            z = torch.zeros(0, 1, 56, 56)
+            return {"feats": feats, "boxes": boxes, "scores": scores,
+                    "s": z, "i": z, "u": z, "v": z,
+                    "part_index": torch.zeros(0, 56, 56, dtype=torch.int64)}
+        dp_roi = d2_multilevel_roi_align(feats[:4], boxes, (4, 8, 16, 32),
+                                         14, aligned=False)
+        head_out = self.roi_heads.densepose_head(dp_roi)
+        s, i, u, v = self.roi_heads.densepose_predictor(head_out)
+        # densepose label math at the heatmap grid (the resize-to-box happens
+        # in DensePoseResult; the repo derives labels at the grid first):
+        fg = s.argmax(dim=1) > 0
+        part = i.argmax(dim=1)
+        part = torch.where(fg, part, torch.zeros_like(part))
+        return {"feats": feats, "boxes": boxes, "scores": scores,
+                "s": s, "i": i, "u": u, "v": v, "part_index": part}
 
 
 def randomize_bn_stats(model, seed=0):
