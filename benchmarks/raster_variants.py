@@ -155,6 +155,112 @@ def make_packed_kernel(img_w, num_chunks, rows, chunk):
     return kernel
 
 
+def make_packed_kernel_T(img_w, num_chunks, rows, chunk):
+    """Packed kernel over a TRANSPOSED (16, Fp) planes layout
+    (KERNEL_NOTES 'remaining headroom': the row-major (Fp, 16) layout pads
+    lanes 16 -> 128 in VMEM (~7MB resident); transposed it is ~0.9MB, at
+    the cost of one (16, C) -> (C, 16) in-kernel transpose per live chunk)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(bounds_ref, planes_ref, packed_ref):
+        rb = pl.program_id(1)
+        y0 = rb * rows
+        xs = jax.lax.broadcasted_iota(jnp.int32, (1, img_w), 1).astype(
+            jnp.float32) + 0.5
+        import numpy as _np
+        INIT = int(_np.float32(3.4e38).view(_np.int32)) & ~7
+        packed_ref[0] = jnp.full((rows, img_w), INIT, jnp.int32)
+
+        def chunk_body(c, _):
+            lo = bounds_ref[0, c, 0]
+            hi = bounds_ref[0, c, 1]
+
+            @pl.when((lo < y0 + rows) & (hi > y0))
+            def _():
+                blk = planes_ref[0, :, pl.ds(c * chunk, chunk)].T  # (C, 16)
+                e0x, e0y, e0c = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+                e1x, e1y, e1c = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+                e2x, e2y, e2c = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+                zx, zy, zc = blk[:, 9:10], blk[:, 10:11], blk[:, 11:12]
+                attr = blk[:, 12:13].astype(jnp.int32)          # (C, 1)
+                e0xx = e0x * xs
+                e1xx = e1x * xs
+                e2xx = e2x * xs
+                zxx = zx * xs
+                rows_out = []
+                for r in range(rows):
+                    y = (y0 + r).astype(jnp.float32) + 0.5
+                    e0 = e0xx + (e0y * y + e0c)
+                    e1 = e1xx + (e1y * y + e1c)
+                    e2 = e2xx + (e2y * y + e2c)
+                    cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
+                    zval = zxx + (zy * y + zc)
+                    pk = (jax.lax.bitcast_convert_type(zval, jnp.int32)
+                          & ~jnp.int32(7)) | attr
+                    pk = jnp.where(cov, pk, INIT)
+                    rows_out.append(jnp.min(pk, axis=0, keepdims=True))
+                blkmin = jnp.concatenate(rows_out, axis=0)
+                packed_ref[0] = jnp.minimum(packed_ref[0], blkmin)
+
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+    return kernel
+
+
+def build_packed_T(planes, bounds, img_h, img_w, face_parts, rows=8,
+                   chunk=FACE_CHUNK):
+    """Transposed-layout packed variant: planes stored (B, 16, Fp)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, F = planes.shape[0], planes.shape[1]
+    pad = (-F) % chunk
+    if pad:
+        kill = jnp.zeros((B, pad, 4, 3), planes.dtype)
+        kill = kill.at[:, :, :3, 2].set(-1.0)
+        planes = jnp.concatenate([planes, kill], axis=1)
+    Fp = planes.shape[1]
+    num_chunks = Fp // chunk
+    assert bounds.shape[1] == num_chunks, (bounds.shape, num_chunks)
+    flat = planes.reshape(B, Fp, 12)
+    attr = jnp.zeros((Fp,), jnp.float32).at[:F].set(
+        jnp.asarray(face_parts, jnp.float32))
+    attr = jnp.broadcast_to(attr[None, :, None], (B, Fp, 1))
+    flat = jnp.concatenate([flat, attr,
+                            jnp.zeros((B, Fp, 3), planes.dtype)], axis=-1)
+    flat_t = flat.transpose(0, 2, 1)                    # (B, 16, Fp)
+    grid = (B, img_h // rows)
+    kernel = make_packed_kernel_T(img_w, num_chunks, rows, chunk)
+
+    @jax.jit
+    def run(bounds, flat_t):
+        packed = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, num_chunks, 2), lambda b, rb: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 16, Fp), lambda b, rb: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, img_w), lambda b, rb: (b, rb, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, img_h, img_w), jnp.int32),
+        )(bounds, flat_t)
+        parts = packed & 7
+        depth = jax.lax.bitcast_convert_type(packed & ~jnp.int32(7),
+                                             jnp.float32)
+        return parts, depth
+
+    return run, bounds, flat_t
+
+
 def build_packed(planes, bounds, img_h, img_w, face_parts, rows=8,
                  chunk=FACE_CHUNK):
     import jax
@@ -309,6 +415,29 @@ def main():
             b_in = bounds256 if kw.get("chunk") == 256 else bounds
             runp, b_, f_ = build_packed(planes, b_in, 256, 256,
                                         assets.face_parts, **kw)
+            pp, dz = runp(b_, f_)
+            agree = float((np.asarray(pp) == np.asarray(ref_parts)).mean())
+            t = timeit(runp, b_, f_)
+            print(f"{name:28s} {t:7.1f} ms   parts agreement {agree:.5f}")
+        except Exception as e:  # noqa
+            print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    # Transposed (16, Fp) planes layout (VERDICT r2 #5): ~10x lower VMEM
+    # residency; re-sweeps the tile points that OOM'd row-major.
+    packed_t_variants = {
+        "packedT": dict(),
+        "packedT_rows16": dict(rows=16),
+        "packedT_rows32": dict(rows=32),
+        "packedT_chunk256": dict(chunk=256),
+        "packedT_rows16_chunk256": dict(rows=16, chunk=256),
+    }
+    for name, kw in packed_t_variants.items():
+        if only and name not in only and "packedT" not in only:
+            continue
+        try:
+            b_in = bounds256 if kw.get("chunk") == 256 else bounds
+            runp, b_, f_ = build_packed_T(planes, b_in, 256, 256,
+                                          assets.face_parts, **kw)
             pp, dz = runp(b_, f_)
             agree = float((np.asarray(pp) == np.asarray(ref_parts)).mean())
             t = timeit(runp, b_, f_)
