@@ -437,3 +437,73 @@ class TestDensePoseRCNNParity:
                         torch.full_like(tout_e2e["s"][0, 0], -6.0)),
             tout_e2e["boxes"][0], IMG).numpy()
         assert (mj == (fg_t > 0.5)).mean() > 0.98
+
+
+class Test800ScaleParity:
+    """Stage-level spot-check at the REAL detector test size (VERDICT r2 #8:
+    top-k/NMS saturation and level-assignment behaviors invisible at 128^2).
+    Synthetic FPN features keep it backbone-free; the RPN head, per-level
+    pre-NMS top-k (saturated: every level has >1000 anchors at 800^2), NMS,
+    and MAX_DETECTIONS saturation all run at scale on both sides."""
+
+    def test_rpn_proposals_and_detection_saturation_at_800(self):
+        from torch_twin_d2 import RPNHead as TwinRPNHead, d2_proposals
+
+        IMG800 = 800
+        torch.manual_seed(11)
+        twin = TwinRPNHead()
+        twin.eval()
+        state = {f"proposal_generator.rpn_head.{k}": v
+                 for k, v in twin_state_to_d2(twin).items()}
+        variables = convert_d2_state(state)
+
+        strides = (4, 8, 16, 32, 64)
+        rng = np.random.RandomState(11)
+        feats_t = [torch.from_numpy(
+            (rng.randn(1, 256, IMG800 // s, IMG800 // s) * 0.5)
+            .astype(np.float32)) for s in strides]
+        with torch.no_grad():
+            logits_t, deltas_t = twin(feats_t)
+            props_t, scores_t = d2_proposals(logits_t, deltas_t, IMG800,
+                                             post_nms_topk=TOPK * 8)
+
+        feats_j = [jnp.asarray(_to_nhwc(f)[0]) for f in feats_t]
+        rpn_vars = {"params": variables["params"]["trunk"]["rpn_head"]}
+        logits_j, deltas_j = RPNHead().apply(rpn_vars, feats_j)
+        for lg, tl in zip(logits_j, logits_t):
+            np.testing.assert_allclose(np.asarray(lg), _to_nhwc(tl)[0],
+                                       atol=2e-4, rtol=1e-3)
+
+        anchors = fpn_anchors(IMG800, strides)
+        # Pre-NMS saturation really happens at this size on every level.
+        assert all(a.shape[0] > 1000 for a in anchors[:4])
+        props_j, sc_j, valid_j = generate_proposals(
+            logits_j, deltas_j, anchors, IMG800, post_nms_topk=TOPK * 8)
+        pj = np.asarray(props_j)[np.asarray(valid_j)]
+        pt = props_t.numpy()
+        n = min(len(pj), len(pt))
+        assert n >= 100, f"only {n} surviving proposals at 800^2"
+        # Ordering ties at identical scores can swap neighbours; compare the
+        # score-sorted prefix elementwise.
+        np.testing.assert_allclose(pj[:n], pt[:n], atol=5e-2)
+
+        # Detection-head saturation: many proposals clear the 0.05 score
+        # threshold, far more than MAX_DETECTIONS -- the flax top-k mask and
+        # the twin's NMS-then-truncate must agree on the kept set.
+        from torch_twin_d2 import d2_box_inference
+
+        P = 512
+        cls = torch.from_numpy(rng.randn(P, 2).astype(np.float32))
+        bbx = torch.from_numpy((rng.randn(P, 4) * 0.1).astype(np.float32))
+        proposals = torch.from_numpy(pt[:P].astype(np.float32))
+        tb, ts = d2_box_inference(cls, bbx, proposals, IMG800, topk=DETS)
+        jb, js, jv = box_inference(
+            jnp.asarray(cls.numpy()), jnp.asarray(bbx.numpy()),
+            jnp.asarray(proposals.numpy()), jnp.ones(P, bool), IMG800,
+            max_detections=DETS)
+        jb_np = np.asarray(jb)[np.asarray(jv)]
+        assert len(tb) == DETS          # saturated: threshold passed by many
+        assert len(jb_np) == DETS
+        np.testing.assert_allclose(jb_np, tb.numpy(), atol=5e-2)
+        np.testing.assert_allclose(np.asarray(js)[np.asarray(jv)],
+                                   ts.numpy(), atol=1e-4, rtol=1e-3)
