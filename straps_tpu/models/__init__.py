@@ -1,6 +1,10 @@
 """Regressor network: ResNet encoder + IEF head, checkpoint conversion."""
 
-from straps_tpu.models.resnet import ResNetEncoder, resnet18, resnet50, FEATURE_DIMS
+from straps_tpu.models.resnet import (
+    ResNetEncoder, resnet18, resnet34, resnet50, resnet101, resnet152,
+    resnext50_32x4d, resnext101_32x8d, wide_resnet50_2, wide_resnet101_2,
+    FEATURE_DIMS,
+)
 from straps_tpu.models.ief import (
     IEFModule, make_initial_params_estimate,
     NUM_CAM_PARAMS, NUM_POSE_PARAMS, NUM_SHAPE_PARAMS, NUM_OUTPUT_PARAMS,
@@ -11,7 +15,9 @@ from straps_tpu.models.convert import (
 )
 
 __all__ = [
-    "ResNetEncoder", "resnet18", "resnet50", "FEATURE_DIMS",
+    "ResNetEncoder", "resnet18", "resnet34", "resnet50", "resnet101",
+    "resnet152", "resnext50_32x4d", "resnext101_32x8d", "wide_resnet50_2",
+    "wide_resnet101_2", "FEATURE_DIMS",
     "IEFModule", "make_initial_params_estimate",
     "NUM_CAM_PARAMS", "NUM_POSE_PARAMS", "NUM_SHAPE_PARAMS", "NUM_OUTPUT_PARAMS",
     "SingleInputRegressor", "build_regressor",

@@ -33,16 +33,22 @@ class SingleInputRegressor(nn.Module):
     def __call__(self, proxy, train: bool = True):
         """proxy: (B, H, W, C) NHWC -> (cam (B,3), pose6d (B,144), shape (B,10))."""
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
-        if self.resnet_layers == 18:
-            encoder = ResNetEncoder(block=BasicBlock, layers=(2, 2, 2, 2),
-                                    dtype=dtype, name="encoder")
-            fc_neurons = (512, 512)
-        elif self.resnet_layers == 50:
-            encoder = ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3),
-                                    dtype=dtype, name="encoder")
-            fc_neurons = (1024, 1024)
-        else:
+        # The reference regressor wires only 18/50 (`models/regressor.py:
+        # 28-41`: fc [512,512] for R18, [1024,1024] for R50); the other
+        # torchvision depths exist as encoder constructors on both sides.
+        # Here every depth is reachable, with the fc rule generalised by
+        # block family.
+        blocks = {18: (BasicBlock, (2, 2, 2, 2)),
+                  34: (BasicBlock, (3, 4, 6, 3)),
+                  50: (Bottleneck, (3, 4, 6, 3)),
+                  101: (Bottleneck, (3, 4, 23, 3)),
+                  152: (Bottleneck, (3, 8, 36, 3))}
+        if self.resnet_layers not in blocks:
             raise ValueError(f"Unsupported resnet_layers={self.resnet_layers}")
+        block, layers = blocks[self.resnet_layers]
+        encoder = ResNetEncoder(block=block, layers=layers,
+                                dtype=dtype, name="encoder")
+        fc_neurons = (512, 512) if block is BasicBlock else (1024, 1024)
         feats = encoder(proxy, train=train)
         return IEFModule(fc_neurons=fc_neurons, iterations=self.ief_iters,
                          initial_estimate=self.initial_estimate,

@@ -58,18 +58,23 @@ class Bottleneck(nn.Module):
     # torchvision-style regressor encoder (reference models/resnet.py)
     # strides in conv2.
     stride_in_1x1: bool = False
+    # ResNeXt/wide variants (`models/resnet.py:80-121`): grouped 3x3 conv
+    # with width = planes * base_width/64 * groups.
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
         s1 = self.stride if self.stride_in_1x1 else 1
         s2 = 1 if self.stride_in_1x1 else self.stride
-        out = nn.Conv(self.planes, (1, 1), strides=(s1, s1), use_bias=False,
+        out = nn.Conv(width, (1, 1), strides=(s1, s1), use_bias=False,
                       dtype=self.dtype, name="conv1")(x)
         out = nn.relu(_bn(train, "bn1", self.dtype)(out))
-        out = nn.Conv(self.planes, (3, 3), strides=(s2, s2),
+        out = nn.Conv(width, (3, 3), strides=(s2, s2),
                       padding=1, use_bias=False, dtype=self.dtype,
-                      name="conv2")(out)
+                      feature_group_count=self.groups, name="conv2")(out)
         out = nn.relu(_bn(train, "bn2", self.dtype)(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
@@ -100,6 +105,9 @@ class ResNetEncoder(nn.Module):
     dtype: Any = None
     # Stride placement for Bottleneck blocks (see Bottleneck.stride_in_1x1).
     stride_in_1x1: bool = False
+    # Grouped/wide Bottleneck variants (resnext/wide constructors).
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -118,7 +126,9 @@ class ResNetEncoder(nn.Module):
                 s = stride if b == 0 else 1
                 needs_ds = (b == 0) and (
                     s != 1 or in_planes != planes * self.block.expansion)
-                kwargs = ({"stride_in_1x1": self.stride_in_1x1}
+                kwargs = ({"stride_in_1x1": self.stride_in_1x1,
+                           "groups": self.groups,
+                           "base_width": self.base_width}
                           if self.block is Bottleneck else {})
                 x = self.block(planes=planes, stride=s, downsample=needs_ds,
                                dtype=self.dtype,
@@ -137,6 +147,10 @@ def resnet18() -> ResNetEncoder:
     return ResNetEncoder(block=BasicBlock, layers=(2, 2, 2, 2))
 
 
+def resnet34() -> ResNetEncoder:
+    return ResNetEncoder(block=BasicBlock, layers=(3, 4, 6, 3))
+
+
 def resnet50() -> ResNetEncoder:
     return ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3))
 
@@ -145,4 +159,31 @@ def resnet101() -> ResNetEncoder:
     return ResNetEncoder(block=Bottleneck, layers=(3, 4, 23, 3))
 
 
-FEATURE_DIMS = {18: 512, 50: 2048}
+def resnet152() -> ResNetEncoder:
+    return ResNetEncoder(block=Bottleneck, layers=(3, 8, 36, 3))
+
+
+def resnext50_32x4d() -> ResNetEncoder:
+    """`models/resnet.py:287-297` (dead code in the reference — only 18/50
+    are reachable from SingleInputRegressor; kept for constructor parity)."""
+    return ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3),
+                         groups=32, base_width=4)
+
+
+def resnext101_32x8d() -> ResNetEncoder:
+    return ResNetEncoder(block=Bottleneck, layers=(3, 4, 23, 3),
+                         groups=32, base_width=8)
+
+
+def wide_resnet50_2() -> ResNetEncoder:
+    return ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3),
+                         base_width=128)
+
+
+def wide_resnet101_2() -> ResNetEncoder:
+    return ResNetEncoder(block=Bottleneck, layers=(3, 4, 23, 3),
+                         base_width=128)
+
+
+# Pooled feature dims per encoder depth (BasicBlock 512, Bottleneck 2048).
+FEATURE_DIMS = {18: 512, 34: 512, 50: 2048, 101: 2048, 152: 2048}

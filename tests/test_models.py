@@ -160,3 +160,46 @@ class TestResnet50Regressor:
                            "batch_stats": back["batch_stats"]}, x, train=False)
         for a, b in zip(ref, got):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestEncoderVariants:
+    """Constructor parity with the reference's full torchvision set
+    (`models/resnet.py:228-338` — dead code there beyond 18/50, kept as
+    constructors here too)."""
+
+    def test_variant_shapes_and_widths(self):
+        import jax
+        import jax.numpy as jnp
+        from straps_tpu.models import (
+            resnet34, resnet152, resnext50_32x4d, wide_resnet50_2,
+        )
+
+        x = jnp.zeros((1, 64, 64, 3))
+        for ctor, dim in ((resnet34, 512), (resnet152, 2048),
+                          (resnext50_32x4d, 2048), (wide_resnet50_2, 2048)):
+            m = ctor()
+            variables = m.init(jax.random.PRNGKey(0), x, train=False)
+            out = m.apply(variables, x, train=False)
+            assert out.shape == (1, dim), ctor.__name__
+        # grouped conv really is grouped: resnext50 3x3 kernels carry
+        # in_channels/groups input channels.
+        m = resnext50_32x4d()
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        k = v["params"]["layer1_0"]["conv2"]["kernel"]
+        assert k.shape == (3, 3, 128 // 32, 128), k.shape
+
+    def test_regressor_accepts_all_depths(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from straps_tpu.models import build_regressor
+
+        mean_pose = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24)
+        for depth in (34, 101):
+            m = build_regressor(mean_pose, np.zeros(10, np.float32),
+                                resnet_layers=depth)
+            v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 18)),
+                       train=False)
+            cam, pose, shape = m.apply(v, jnp.zeros((1, 64, 64, 18)),
+                                       train=False)
+            assert cam.shape == (1, 3) and pose.shape == (1, 144)
