@@ -1,0 +1,80 @@
+"""Demo-path detector throughput on the real TPU: batched dispatch vs the
+reference's per-image round trips (VERDICT r2 #3).
+
+Times `run_detector_batched` over the 8 demo images at the real
+ResizeShortestEdge-800 network size for chunk=1 (one jitted call per image,
+the r2/per-image dispatch shape) and chunk=8 (one call per folder), for the
+Keypoint-RCNN and PointRend detectors.  Weights are random — throughput
+only, the math path is identical to converted checkpoints.
+
+Usage: python benchmarks/demo_path_bench.py [image_dir] [repeats]
+"""
+
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_images(image_dir, size):
+    import cv2
+    from straps_tpu.geometry.bbox import pad_to_square_params
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")) +
+                   glob.glob(os.path.join(image_dir, "*.jpg")))
+    assert paths, f"no images in {image_dir}"
+    out = []
+    for p in paths:
+        img = cv2.imread(p)[:, :, ::-1]
+        h, w = img.shape[:2]
+        top, left = pad_to_square_params(h, w)
+        img = np.pad(img, ((top, top), (left, left), (0, 0)))
+        out.append(cv2.resize(img, (size, size),
+                              interpolation=cv2.INTER_LINEAR))
+    return out
+
+
+def main():
+    image_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/demo"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from straps_tpu.perception import (
+        KeypointRCNN, PointRendRCNN, DEFAULT_IMAGE_SIZE, DETECTOR_TEST_SIZE,
+    )
+    from straps_tpu.perception.frontend import run_detector_batched
+
+    size, test_size = DEFAULT_IMAGE_SIZE, DETECTOR_TEST_SIZE
+    images = load_images(image_dir, size)
+    n = len(images)
+    dummy = jnp.zeros((test_size, test_size, 3))
+    models = {
+        "keypoint_rcnn": KeypointRCNN(output_size=size),
+        "pointrend_rcnn": PointRendRCNN(output_size=size),
+    }
+    for name, model in models.items():
+        variables = model.init(jax.random.PRNGKey(0), dummy)
+        for chunk in (1, n):
+            run_detector_batched(model, variables, images,        # warmup
+                                 test_size=test_size, chunk=chunk)
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                out = run_detector_batched(model, variables, images,
+                                           test_size=test_size, chunk=chunk)
+            dt = (time.perf_counter() - t0) / repeats
+            label = "per-image (chunk=1)" if chunk == 1 else f"batched ({n})"
+            print(f"{name:15s} {label:20s} {n / dt:6.2f} img/s "
+                  f"({dt * 1e3 / n:.0f} ms/img)", flush=True)
+            assert out["boxes"].shape[0] == n
+
+
+if __name__ == "__main__":
+    main()

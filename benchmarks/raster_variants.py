@@ -360,6 +360,9 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 140
     only = set(sys.argv[2:])
     import jax
+    # Persistent compile cache: each Pallas variant otherwise pays a full
+    # remote compile (~minutes) on every sweep invocation.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
     from straps_tpu.geometry import get_intrinsics_matrix
     from straps_tpu.render.raster import (

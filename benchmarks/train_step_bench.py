@@ -33,7 +33,9 @@ def main():
     cfg = TrainConfig()
     cfg.batch_size = batch
     if dtype:
-        cfg.model.compute_dtype = dtype
+        # bf16 is the config default (r3); 'float32' forces full-f32 compute.
+        cfg.model.compute_dtype = (None if dtype in ("float32", "f32")
+                                   else dtype)
     assets = load_synthetic_assets()
     model, assets, state, tx, train_step, val_step, mesh = build_training(
         cfg, assets)
@@ -49,7 +51,8 @@ def main():
     state, loss, task_losses, per_frame = train_step(
         state, jax.random.PRNGKey(0), b["pose"], b["shape"])
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(loss):.4f} (dtype={dtype or 'float32'})")
+          f"loss={float(loss):.4f} "
+          f"(compute_dtype={cfg.model.compute_dtype or 'float32'})")
 
     t0 = time.perf_counter()
     for i in range(steps):

@@ -36,16 +36,30 @@ def load_eval_npz(path: str) -> Dict[str, np.ndarray]:
     return data
 
 
+def gt_render_chunk_size(img_wh: int, budget_bytes: float = 4e9,
+                         face_chunk: int = 128) -> int:
+    """Sub-batch size for the XLA raster path from its memory model.
+
+    The scan keeps ~8 live (B, face_chunk, img_wh^2) f32 temporaries
+    (coverage/edge/depth tiles); calibrated against the observed 17GB HBM
+    demand at B=64 256^2 on a 16GB v5e (-> ~266MB/sample).  A 4GB budget
+    reproduces the empirically-safe chunk=15..16 at 256^2 and scales down
+    automatically when img_wh grows (the r2 OOM re-trip hazard)."""
+    per_sample = 8 * face_chunk * img_wh * img_wh * 4
+    return max(1, int(budget_bytes // per_sample))
+
+
 def synthesise_proxy_inputs(poses: np.ndarray, shapes: np.ndarray, assets,
                             img_wh: int, focal_length: float = None,
-                            cam_t=(0.0, 0.2, 42.0), chunk: int = 16
+                            cam_t=(0.0, 0.2, 42.0), chunk: int = None
                             ) -> Tuple[np.ndarray, np.ndarray]:
     """Render GT meshes to silhouettes + project GT joints (synthetic-eval
     mode for when a dataset ships no images/detections).
 
-    Rendered in `chunk`-sized sub-batches: the XLA raster path holds
-    (B, FACE_CHUNK, H*W) coverage temporaries, which at a whole-dataset B
-    exceeds HBM (observed 17G at B=64 256^2 on a 16G v5e)."""
+    Rendered in `chunk`-sized sub-batches (default: `gt_render_chunk_size`
+    — the XLA raster path's temporaries exceed HBM at whole-dataset B)."""
+    if chunk is None:
+        chunk = gt_render_chunk_size(img_wh)
     from straps_tpu.geometry import perspective_project
 
     if focal_length is None:

@@ -21,18 +21,35 @@ def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""
-    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
-    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = jnp.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU.
+
+    Computed coordinate-wise as (N, M) planes — an (N, M, 2) intermediate
+    would put 2 in the lane dimension, which TPU tiling pads to 128 (64x
+    memory: a vmapped batch-8 NMS at 800^2 allocated 20.8GB that way)."""
+    ix1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    iy1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    ix2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    iy2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
     union = box_area(a)[:, None] + box_area(b)[None, :] - inter
     return inter / jnp.maximum(union, 1e-9)
 
 
 def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
-              max_outputs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS with static output size.
+              max_outputs: int, block: int = 128
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS with static output size, blocked for TPU.
+
+    A naive greedy loop is N sequential steps (each a tiny vector op) — at
+    the 800^2 proposal count (N~4500) that dominated the whole detector
+    forward (~0.5s/image).  This is the blocked formulation TPU NMS kernels
+    use (tf.image.non_max_suppression_padded): process candidates in score
+    order in blocks of `block`; within a block, iterate the monotone
+    "suppressed by an alive higher-scorer" map to its fixpoint (exactly the
+    greedy kept-set, a handful of iterations in practice); then suppress all
+    later candidates with ONE (block, N) matrix op.  Sequential depth drops
+    from N to ~N/block * (fixpoint iters + 1), and no (N, N) IoU matrix is
+    ever materialised.
 
     Args:
       boxes: (N, 4) xyxy; scores: (N,); invalid candidates must carry
@@ -45,20 +62,44 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     order = jnp.argsort(-scores)
     boxes_s = boxes[order]
     scores_s = scores[order]
-    iou = pairwise_iou(boxes_s, boxes_s)
+    pad = (-N) % block
+    if pad:
+        boxes_s = jnp.concatenate(
+            [boxes_s, jnp.zeros((pad, 4), boxes_s.dtype)])
+        scores_s = jnp.concatenate(
+            [scores_s, jnp.full((pad,), -jnp.inf, scores_s.dtype)])
+    Np = boxes_s.shape[0]
+    cols = jnp.arange(Np)
 
-    def body(i, alive):
-        # alive: (N,) bool — candidates not yet suppressed.
-        # The i-th surviving candidate in score order suppresses everything
-        # overlapping it.  Find it: the i-th True in `alive` restricted to
-        # picks.  Simpler equivalent: iterate over all N in score order and
-        # suppress neighbours of every still-alive candidate.
-        is_alive = alive[i]
-        suppress = (iou[i] > iou_threshold) & (jnp.arange(N) > i)
-        return jnp.where(is_alive, alive & ~suppress, alive)
+    def block_body(b, alive):
+        start = b * block
+        blk_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (block, 4))
+        # j (block row, global index start+j) suppresses strictly-later i.
+        sup = pairwise_iou(blk_boxes, boxes_s) > iou_threshold   # (B, Np)
+        rows = start + jnp.arange(block)[:, None]
+        sup = sup & (cols[None, :] > rows)
+        a_blk0 = jax.lax.dynamic_slice(alive, (start,), (block,))
+        in_blk = jax.lax.dynamic_slice(sup, (0, start), (block, block))
+
+        def self_cond(carry):
+            return carry[1]
+
+        def self_body(carry):
+            a, _ = carry
+            suppressed = jnp.any(in_blk & a[:, None], axis=0)    # (B,)
+            a_new = a_blk0 & ~suppressed
+            return a_new, jnp.any(a_new != a)
+
+        a_blk, _ = jax.lax.while_loop(self_cond, self_body,
+                                      (a_blk0, jnp.bool_(True)))
+        # Alive block members suppress everything later in one shot.
+        cross = jnp.any(sup & a_blk[:, None], axis=0)            # (Np,)
+        alive = alive & ~(cross & (cols >= start + block))
+        return jax.lax.dynamic_update_slice(alive, a_blk, (start,))
 
     alive = scores_s > -jnp.inf
-    alive = jax.lax.fori_loop(0, N, body, alive)
+    alive = jax.lax.fori_loop(0, Np // block, block_body, alive)
+    alive = alive[:N]
     # Keep the first `max_outputs` alive candidates (score order).
     rank = jnp.cumsum(alive.astype(jnp.int32)) - 1          # rank among kept
     keep_slot = jnp.where(alive & (rank < max_outputs), rank, max_outputs)

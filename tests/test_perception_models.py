@@ -68,7 +68,9 @@ class TestDensePoseRCNN:
         img = jnp.asarray(np.random.RandomState(0)
                           .randn(IMG, IMG, 3).astype(np.float32))
         out = model.apply(variables, img)
-        assert out["part_index"].shape == (2, 112, 112)
+        # 14^2 pooler -> deconv 28 -> 2x bilinear = HEATMAP_SIZE 56
+        # (DensePose/densepose/config.py:24-27; r3 correction from 28^2).
+        assert out["part_index"].shape == (2, 56, 56)
         assert int(np.asarray(out["part_index"]).max()) <= 24
         assert out["masks"].shape == (2, IMG, IMG)
 

@@ -72,6 +72,27 @@ class TestNms:
             expected = naive_nms(boxes, scores, 0.5)[:16]
             assert got == expected, (trial, got, expected)
 
+    def test_blocked_matches_naive_multiblock(self):
+        """Exactness of the blocked formulation across block boundaries:
+        dense overlaps + suppression chains spanning blocks (r3: the naive
+        N-sequential loop was replaced by the blocked fixpoint algorithm)."""
+        for trial in range(3):
+            rng = np.random.RandomState(100 + trial)
+            n = 300
+            centres = rng.uniform(10, 120, (n, 2))   # dense -> long chains
+            wh = rng.uniform(10, 40, (n, 2))
+            boxes = np.concatenate([centres - wh / 2, centres + wh / 2],
+                                   axis=1).astype(np.float32)
+            scores = rng.rand(n).astype(np.float32)
+            for block in (64, 128, 512):
+                idx, valid = nms_fixed(jnp.asarray(boxes),
+                                       jnp.asarray(scores), 0.5, 32,
+                                       block=block)
+                got = [int(i) for i, v in zip(np.asarray(idx),
+                                              np.asarray(valid)) if v]
+                expected = naive_nms(boxes, scores, 0.5)[:32]
+                assert got == expected, (trial, block)
+
     def test_invalid_candidates_skipped(self):
         boxes = jnp.asarray([[0.0, 0, 10, 10], [100.0, 100, 110, 110]])
         scores = jnp.asarray([0.9, -np.inf])
