@@ -12,6 +12,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
@@ -235,21 +236,66 @@ def multilevel_roi_align(features_per_level, boxes: jnp.ndarray,
                          canonical_size: float = 224.0,
                          sampling_ratio: int = 2,
                          aligned: bool = True) -> jnp.ndarray:
-    """FPN level assignment + per-level ROIAlign, summed via level masks
-    (detectron2 `assign_boxes_to_levels`: level = floor(4 + log2(sqrt(area)
-    / 224))), static-shape (every box pooled at every level, masked)."""
+    """FPN level assignment + ROIAlign from a PACKED pyramid.
+
+    detectron2 `assign_boxes_to_levels`: level = floor(4 + log2(sqrt(area)
+    / 224)).  The r2 static-shape formulation pooled every box at EVERY
+    level and masked — 4x the gather traffic of the useful work, and the
+    gather is the detector's hottest op (85 ms for 512 boxes at 800^2, as
+    much as the whole R50-FPN backbone).  Instead the levels are flattened
+    into one (sum H*W, C) buffer and each box gathers through its own
+    level's offset/stride — identical math, one level's traffic."""
+    import math
+
+    C = features_per_level[0].shape[-1]
+    hs = [int(f.shape[0]) for f in features_per_level]
+    ws = [int(f.shape[1]) for f in features_per_level]
+    flat = jnp.concatenate([f.reshape(-1, C) for f in features_per_level])
+    offsets = np.cumsum([0] + [h * w for h, w in zip(hs, ws)])[:-1]
+
     area = box_area(boxes)
     lvl = jnp.floor(canonical_level +
                     jnp.log2(jnp.sqrt(jnp.maximum(area, 1e-9)) /
                              canonical_size + 1e-9))
-    import math
     min_l = int(math.log2(strides[0]))
     max_l = min_l + len(features_per_level) - 1
-    lvl = jnp.clip(lvl, min_l, max_l).astype(jnp.int32)
-    out = None
-    for i, (feat, stride) in enumerate(zip(features_per_level, strides)):
-        pooled = roi_align(feat, boxes, 1.0 / stride, output_size,
-                           sampling_ratio, aligned)
-        mask = (lvl == (min_l + i)).astype(pooled.dtype)[:, None, None, None]
-        out = pooled * mask if out is None else out + pooled * mask
-    return out
+    li = (jnp.clip(lvl, min_l, max_l) - min_l).astype(jnp.int32)   # (R,)
+
+    scale = jnp.asarray([1.0 / s for s in strides], jnp.float32)[li]
+    Hb = jnp.asarray(hs, jnp.int32)[li]
+    Wb = jnp.asarray(ws, jnp.int32)[li]
+    off = jnp.asarray(offsets, jnp.int32)[li]
+
+    shift = 0.5 if aligned else 0.0
+    boxes_f = boxes * scale[:, None] - shift
+    x1, y1, x2, y2 = (boxes_f[:, i] for i in range(4))
+    bin_w = jnp.maximum(x2 - x1, 1e-6) / output_size
+    bin_h = jnp.maximum(y2 - y1, 1e-6) / output_size
+    s = sampling_ratio
+    grid = (jnp.arange(output_size * s) + 0.5) / s               # bin units
+    xs = x1[:, None] + bin_w[:, None] * grid[None, :]            # (R, Q)
+    ys = y1[:, None] + bin_h[:, None] * grid[None, :]
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[:, None, :]                                   # (R, 1, Q)
+    fy = (ys - y0)[:, :, None]                                   # (R, Q, 1)
+    x0i = x0.astype(jnp.int32)[:, None, :]
+    y0i = y0.astype(jnp.int32)[:, :, None]
+    Wb3 = Wb[:, None, None]
+    Hb3 = Hb[:, None, None]
+    off3 = off[:, None, None]
+
+    def tap(xi, yi):
+        valid = (xi >= 0) & (xi < Wb3) & (yi >= 0) & (yi < Hb3)
+        xc = jnp.clip(xi, 0, Wb3 - 1)
+        yc = jnp.clip(yi, 0, Hb3 - 1)
+        samples = flat[off3 + yc * Wb3 + xc]                     # (R, Q, Q, C)
+        return samples * valid[..., None]
+
+    out = (tap(x0i, y0i) * ((1 - fx) * (1 - fy))[..., None]
+           + tap(x0i + 1, y0i) * (fx * (1 - fy))[..., None]
+           + tap(x0i, y0i + 1) * ((1 - fx) * fy)[..., None]
+           + tap(x0i + 1, y0i + 1) * (fx * fy)[..., None])
+    R = boxes.shape[0]
+    out = out.reshape(R, output_size, s, output_size, s, C)
+    return out.mean(axis=(2, 4))

@@ -183,6 +183,15 @@ class DensePoseRCNN(nn.Module):
 
 
 def normalise_image(image_rgb: np.ndarray) -> np.ndarray:
-    """uint8 RGB (H, W, 3) -> normalised BGR float input."""
+    """uint8 RGB (H, W, 3) -> normalised BGR float input (host-side)."""
     bgr = np.asarray(image_rgb, np.float32)[..., ::-1]
     return (bgr - PIXEL_MEAN) / PIXEL_STD
+
+
+def normalise_image_device(image_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Same normalisation inside the jit: lets the batched front-end ship
+    uint8 over the host->device link (4x less transfer than f32 — the link
+    dominated the 800^2 demo path) and fuse the arithmetic into the first
+    conv."""
+    bgr = jnp.asarray(image_rgb, jnp.float32)[..., ::-1]
+    return (bgr - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
