@@ -7,7 +7,9 @@ the r2/per-image dispatch shape) and chunk=8 (one call per folder), for the
 Keypoint-RCNN and PointRend detectors.  Weights are random — throughput
 only, the math path is identical to converted checkpoints.
 
-Usage: python benchmarks/demo_path_bench.py [image_dir] [repeats]
+Usage: python benchmarks/demo_path_bench.py [image_dir] [repeats] [dtype]
+  dtype: optional 'bfloat16' runs the backbone+FPN convs at MXU rate
+  (heads/NMS stay f32).
 """
 
 import glob
@@ -41,6 +43,7 @@ def load_images(image_dir, size):
 def main():
     image_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/demo"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    dtype = sys.argv[3] if len(sys.argv) > 3 else None
 
     import jax
     import jax.numpy as jnp
@@ -57,8 +60,10 @@ def main():
     n = len(images)
     dummy = jnp.zeros((test_size, test_size, 3))
     models = {
-        "keypoint_rcnn": KeypointRCNN(output_size=size),
-        "pointrend_rcnn": PointRendRCNN(output_size=size),
+        "keypoint_rcnn": KeypointRCNN(output_size=size,
+                                      backbone_dtype=dtype),
+        "pointrend_rcnn": PointRendRCNN(output_size=size,
+                                        backbone_dtype=dtype),
     }
     for name, model in models.items():
         variables = model.init(jax.random.PRNGKey(0), dummy)

@@ -127,6 +127,9 @@ class PredictConfig:
     # garbage proxies; it must be opted into explicitly (smoke/throughput
     # runs only).
     allow_random_detectors: bool = False
+    # 'bfloat16' runs the detector backbones at MXU rate (heads/NMS stay
+    # f32).  None (default) keeps the twin-verified f32 numerics.
+    detector_backbone_dtype: Optional[str] = None
     out_dir: str = "predict_out"
     img_wh: int = 256
     smpl_dir: Optional[str] = None

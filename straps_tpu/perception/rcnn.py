@@ -63,6 +63,8 @@ class DetectionTrunk(nn.Module):
     # KP/PointRend configs, legacy "ROIAlign" for DensePose
     # (`DensePose/configs/Base-DensePose-RCNN-FPN.yaml`).
     box_pooler_aligned: bool = True
+    # Backbone compute dtype ('bfloat16' = MXU-rate convs; heads stay f32).
+    backbone_dtype: str = None
 
     @nn.compact
     def __call__(self, image: jnp.ndarray):
@@ -72,6 +74,7 @@ class DetectionTrunk(nn.Module):
         """
         img_size = image.shape[0]
         feats = ResNet50FPN(depth=self.backbone_depth,
+                            compute_dtype=self.backbone_dtype,
                             name="backbone")(image[None])
         feats = [f[0] for f in feats]                     # drop batch dim
         logits, deltas = RPNHead(name="rpn_head")(feats)
@@ -97,12 +100,14 @@ class KeypointRCNN(nn.Module):
     post_nms_topk: int = POST_NMS_TOPK
     max_detections: int = MAX_DETECTIONS
     output_size: int = 0
+    backbone_dtype: str = None
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats, boxes, scores, valid = DetectionTrunk(
             post_nms_topk=self.post_nms_topk,
-            max_detections=self.max_detections, name="trunk")(image)
+            max_detections=self.max_detections,
+            backbone_dtype=self.backbone_dtype, name="trunk")(image)
         kp_roi = pooled_box_features(feats, boxes, 14)
         heatmaps = KeypointHead(name="keypoint_head")(kp_roi)
         scale = (self.output_size / image.shape[0]) if self.output_size else 1.0
@@ -124,13 +129,15 @@ class PointRendRCNN(nn.Module):
     max_detections: int = MAX_DETECTIONS
     num_classes: int = 80
     output_size: int = 0
+    backbone_dtype: str = None
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats, boxes, scores, valid = DetectionTrunk(
             post_nms_topk=self.post_nms_topk,
             max_detections=self.max_detections,
-            num_classes=self.num_classes, name="trunk")(image)
+            num_classes=self.num_classes,
+            backbone_dtype=self.backbone_dtype, name="trunk")(image)
         mask_roi = roi_align(feats[0], boxes, 1.0 / FPN_STRIDES[0], 14,
                              sampling_ratio=1)
         coarse = CoarseMaskHead(num_classes=self.num_classes,
@@ -155,6 +162,7 @@ class DensePoseRCNN(nn.Module):
     max_detections: int = MAX_DETECTIONS
     backbone_depth: int = 101
     output_size: int = 0
+    backbone_dtype: str = None
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -162,7 +170,8 @@ class DensePoseRCNN(nn.Module):
             post_nms_topk=self.post_nms_topk,
             max_detections=self.max_detections,
             backbone_depth=self.backbone_depth,
-            box_pooler_aligned=False, name="trunk")(image)
+            box_pooler_aligned=False,
+            backbone_dtype=self.backbone_dtype, name="trunk")(image)
         # POOLER_RESOLUTION=14, legacy-ROIAlign pooler type
         # (`DensePose/densepose/config.py:26-27` defaults + the base yaml's
         # POOLER_TYPE override); head keeps 14^2, predictor deconv doubles to

@@ -146,11 +146,12 @@ def detect_and_build_proxies(cfg: PredictConfig):
     # back to the reference's 512 working frame (`predict_3D.py:106`).
     size = DEFAULT_IMAGE_SIZE
     test_size = DETECTOR_TEST_SIZE
-    kp_model = KeypointRCNN(output_size=size)
+    bb_dtype = getattr(cfg, "detector_backbone_dtype", None)
+    kp_model = KeypointRCNN(output_size=size, backbone_dtype=bb_dtype)
     if cfg.silhouettes_from == "pointrend":
-        silh_model = PointRendRCNN(output_size=size)
+        silh_model = PointRendRCNN(output_size=size, backbone_dtype=bb_dtype)
     else:
-        silh_model = DensePoseRCNN(output_size=size)
+        silh_model = DensePoseRCNN(output_size=size, backbone_dtype=bb_dtype)
     dummy = jnp.zeros((test_size, test_size, 3))
     kp_ckpt = getattr(cfg, "keypoint_checkpoint", None)
     silh_ckpt = getattr(cfg, "silhouette_checkpoint", None)

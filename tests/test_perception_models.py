@@ -147,3 +147,40 @@ class TestBatchedFrontend:
             sil_b, _ = select_silhouette(out, i)
             sil_s = predict_silhouette(img, model, variables)
             np.testing.assert_allclose(sil_b, sil_s, atol=1e-4)
+
+
+class TestBf16Backbone:
+    def test_bf16_backbone_close_to_f32(self):
+        """backbone_dtype='bfloat16' keeps params/IO f32 and the detection
+        outputs close to the f32 path (opt-in speed knob; parity stays
+        asserted in f32)."""
+        model32 = KeypointRCNN(post_nms_topk=TOPK, max_detections=DETS)
+        model16 = KeypointRCNN(post_nms_topk=TOPK, max_detections=DETS,
+                               backbone_dtype="bfloat16")
+        variables = model32.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((IMG, IMG, 3)))
+        # identical param tree (dtype only affects compute)
+        v16 = model16.init(jax.random.PRNGKey(0), jnp.zeros((IMG, IMG, 3)))
+        assert (jax.tree_util.tree_structure(variables) ==
+                jax.tree_util.tree_structure(v16))
+        img = jnp.asarray(np.random.RandomState(3)
+                          .randn(IMG, IMG, 3).astype(np.float32))
+        o16 = model16.apply(variables, img)
+        assert o16["boxes"].dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(o16["boxes"])))
+
+        # Feature-level closeness is the meaningful check (random-weight
+        # detections are all near-threshold noise, so box sets may reorder):
+        # bf16 backbone features track f32 to bf16 precision.
+        from straps_tpu.perception.fpn import ResNet50FPN
+        bb_vars = {"params": variables["params"]["trunk"]["backbone"],
+                   "batch_stats":
+                       variables["batch_stats"]["trunk"]["backbone"]}
+        f32 = ResNet50FPN(depth=50).apply(bb_vars, img[None])
+        f16 = ResNet50FPN(depth=50, compute_dtype="bfloat16").apply(
+            bb_vars, img[None])
+        for lvl, (a, b) in enumerate(zip(f32, f16)):
+            assert b.dtype == jnp.float32
+            scale = float(jnp.abs(a).max()) + 1e-6
+            err = float(jnp.abs(a - b).max()) / scale
+            assert err < 0.05, (lvl, err)
