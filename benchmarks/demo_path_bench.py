@@ -65,15 +65,24 @@ def main():
         "pointrend_rcnn": PointRendRCNN(output_size=size,
                                         backbone_dtype=dtype),
     }
+    from straps_tpu.perception.frontend import make_batched_apply_fn
+
     for name, model in models.items():
         variables = model.init(jax.random.PRNGKey(0), dummy)
+        # ONE jitted apply per model, reused across calls — building a
+        # fresh jax.jit per run_detector_batched call re-traces the whole
+        # 800² model every time (seconds of host work), which is what a
+        # real pipeline amortises over the folder.
+        af = make_batched_apply_fn(model, variables, normalise=True)
         for chunk in (1, n):
             run_detector_batched(model, variables, images,        # warmup
-                                 test_size=test_size, chunk=chunk)
+                                 test_size=test_size, chunk=chunk,
+                                 apply_fn=af)
             t0 = time.perf_counter()
             for _ in range(repeats):
                 out = run_detector_batched(model, variables, images,
-                                           test_size=test_size, chunk=chunk)
+                                           test_size=test_size, chunk=chunk,
+                                           apply_fn=af)
             dt = (time.perf_counter() - t0) / repeats
             label = "per-image (chunk=1)" if chunk == 1 else f"batched ({n})"
             print(f"{name:15s} {label:20s} {n / dt:6.2f} img/s "

@@ -5,7 +5,11 @@ multilevel ROIAlign (box 7^2 / keypoint 14^2), box head, keypoint head.
 Each stage is timed as its own jit with representative input shapes, so the
 per-image cost split of the ~0.8s keypoint_rcnn forward is attributable.
 
-Usage: python benchmarks/perception_profile.py [img_size]
+Usage: python benchmarks/perception_profile.py [img_size] [backbone_dtype]
+
+`backbone_dtype=bfloat16` profiles the opt-in MXU stack: bf16 backbone
+convs + bf16 einsum ROIAlign (heads/NMS f32), the dtype split
+`KeypointRCNN(backbone_dtype='bfloat16')` runs.
 """
 
 import os
@@ -19,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     img = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    bdt = sys.argv[2] if len(sys.argv) > 2 else None
 
     import jax
     import jax.numpy as jnp
@@ -44,11 +49,12 @@ def main():
         return (time.perf_counter() - t0) / n * 1e3
 
     image = jnp.asarray(rng.uniform(-2, 2, (1, img, img, 3)).astype(np.float32))
-    bb = ResNet50FPN(depth=50)
+    bb = ResNet50FPN(depth=50, compute_dtype=bdt)
     bb_vars = bb.init(jax.random.PRNGKey(0), image)
     bb_fn = jax.jit(lambda v, x: bb.apply(v, x))
     t = timeit(bb_fn, bb_vars, image)
-    print(f"backbone+FPN (R50, {img}^2)        {t:7.1f} ms", flush=True)
+    tag = f"R50{'/bf16' if bdt else ''}, {img}^2"
+    print(f"backbone+FPN ({tag})      {t:7.1f} ms", flush=True)
 
     feats = [f[0] for f in bb_fn(bb_vars, image)]
     rpn = RPNHead()
@@ -65,7 +71,8 @@ def main():
     print(f"proposal select (topk+NMS)         {t:7.1f} ms", flush=True)
 
     proposals, _, _ = prop_fn(logits, deltas)
-    roi7_fn = jax.jit(lambda f, b: pooled_box_features(f, b, 7))
+    roi7_fn = jax.jit(lambda f, b: pooled_box_features(
+        f, b, 7, compute_dtype=bdt))
     t = timeit(roi7_fn, feats, proposals)
     print(f"multilevel ROIAlign 7^2 x512       {t:7.1f} ms", flush=True)
 
@@ -83,7 +90,8 @@ def main():
     print(f"box inference (thresh+NMS+topk)    {t:7.1f} ms", flush=True)
 
     det_boxes, _, _ = det_fn(scores, box_deltas, proposals)
-    roi14_fn = jax.jit(lambda f, b: pooled_box_features(f, b, 14))
+    roi14_fn = jax.jit(lambda f, b: pooled_box_features(
+        f, b, 14, compute_dtype=bdt))
     t = timeit(roi14_fn, feats, det_boxes)
     print(f"multilevel ROIAlign 14^2 x8        {t:7.1f} ms", flush=True)
 

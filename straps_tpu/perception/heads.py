@@ -109,8 +109,21 @@ def keypoint_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray,
 
 def pooled_box_features(fpn_feats: List[jnp.ndarray], boxes: jnp.ndarray,
                         output_size: int,
-                        aligned: bool = True) -> jnp.ndarray:
+                        aligned: bool = True,
+                        compute_dtype: str = None) -> jnp.ndarray:
     """ROIAlign over P2-P5 with FPN level assignment (`aligned=False` =
-    the legacy ROIAlign pooler type DensePose configures)."""
+    the legacy ROIAlign pooler type DensePose configures).
+
+    `compute_dtype='bfloat16'` pools in bf16 via the MXU einsum
+    formulation and returns f32 for the heads — paired with the bf16
+    backbone opt-in, where the features are bf16-derived anyway (the
+    down-cast is lossless), this removes the detector's hottest
+    remaining op (the f32 pooling gather)."""
+    if compute_dtype is not None:
+        dt = jnp.dtype(compute_dtype)
+        out = multilevel_roi_align([f.astype(dt) for f in fpn_feats[:4]],
+                                   boxes, (4, 8, 16, 32),
+                                   output_size, aligned=aligned)
+        return out.astype(jnp.float32)
     return multilevel_roi_align(fpn_feats[:4], boxes, (4, 8, 16, 32),
                                 output_size, aligned=aligned)

@@ -83,7 +83,8 @@ class DetectionTrunk(nn.Module):
             logits, deltas, anchors, img_size,
             post_nms_topk=self.post_nms_topk)
         roi = pooled_box_features(feats, proposals, 7,
-                                  aligned=self.box_pooler_aligned)
+                                  aligned=self.box_pooler_aligned,
+                                  compute_dtype=self.backbone_dtype)
         scores, box_deltas = BoxHead(num_classes=self.num_classes,
                                      name="box_head")(roi)
         det_boxes, det_scores, det_valid = box_inference(
@@ -108,7 +109,8 @@ class KeypointRCNN(nn.Module):
             post_nms_topk=self.post_nms_topk,
             max_detections=self.max_detections,
             backbone_dtype=self.backbone_dtype, name="trunk")(image)
-        kp_roi = pooled_box_features(feats, boxes, 14)
+        kp_roi = pooled_box_features(feats, boxes, 14,
+                                     compute_dtype=self.backbone_dtype)
         heatmaps = KeypointHead(name="keypoint_head")(kp_roi)
         scale = (self.output_size / image.shape[0]) if self.output_size else 1.0
         out_boxes = boxes * scale
@@ -151,8 +153,11 @@ class PointRendRCNN(nn.Module):
         masks = jax.vmap(
             lambda m, b: paste_mask(m[..., 0], b, out_size, out_size)
         )(refined, out_boxes)
+        # Binary masks ship as bool: 32x less device->host traffic than
+        # f32 (the pull is the demo path's dominant cost on a tunneled
+        # backend; d2 also returns binarized pred_masks).
         return {"boxes": out_boxes, "scores": scores, "valid": valid,
-                "masks": masks}
+                "masks": masks.astype(bool)}
 
 
 class DensePoseRCNN(nn.Module):
@@ -176,7 +181,8 @@ class DensePoseRCNN(nn.Module):
         # (`DensePose/densepose/config.py:26-27` defaults + the base yaml's
         # POOLER_TYPE override); head keeps 14^2, predictor deconv doubles to
         # 28^2 and the 2x bilinear reaches HEATMAP_SIZE=56.
-        dp_roi = pooled_box_features(feats, boxes, 14, aligned=False)
+        dp_roi = pooled_box_features(feats, boxes, 14, aligned=False,
+                                     compute_dtype=self.backbone_dtype)
         x = DensePoseHead(name="densepose_head")(dp_roi)
         s, i, u, v = DensePosePredictor(name="densepose_predictor")(x)
         part, u_sel, v_sel = densepose_to_iuv(s, i, u, v)
@@ -188,7 +194,8 @@ class DensePoseRCNN(nn.Module):
             lambda m, b: paste_mask(m, b, out_size, out_size)
         )((part > 0).astype(jnp.float32) * 12.0 - 6.0, out_boxes)
         return {"boxes": out_boxes, "scores": scores, "valid": valid,
-                "masks": masks, "part_index": part, "u": u_sel, "v": v_sel}
+                "masks": masks.astype(bool), "part_index": part,
+                "u": u_sel, "v": v_sel}
 
 
 def normalise_image(image_rgb: np.ndarray) -> np.ndarray:

@@ -162,6 +162,46 @@ class TestRoiAlign:
         np.testing.assert_allclose(out[0], 2.0, atol=1e-5)
         np.testing.assert_allclose(out[1], 3.0, atol=1e-5)
 
+    def test_einsum_matches_gather(self):
+        """The MXU (two-einsum) formulation must agree with the packed
+        gather path on boxes spanning all levels, including boxes whose
+        sample taps fall outside the feature map (validity zeros)."""
+        feats = [jnp.asarray(RNG.randn(256 // s, 256 // s, 8)
+                             .astype(np.float32))
+                 for s in (4, 8, 16, 32)]
+        boxes = jnp.asarray([
+            [10.0, 12.0, 40.0, 50.0],       # small -> fine level
+            [30.0, 20.0, 150.0, 180.0],     # mid
+            [0.0, 0.0, 250.0, 250.0],       # large -> coarse level
+            [-20.0, -10.0, 30.0, 25.0],     # crosses the top-left border
+            [200.0, 210.0, 300.0, 290.0],   # crosses the bottom-right
+        ], jnp.float32)
+        for aligned in (True, False):
+            a = np.asarray(multilevel_roi_align(
+                feats, boxes, (4, 8, 16, 32), 7, canonical_size=64.0,
+                aligned=aligned, method="einsum"))
+            b = np.asarray(multilevel_roi_align(
+                feats, boxes, (4, 8, 16, 32), 7, canonical_size=64.0,
+                aligned=aligned, method="gather"))
+            np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_einsum_bf16_close(self):
+        """bf16 features ride the MXU natively; result stays within bf16
+        tolerance of the f32 gather reference."""
+        feats32 = [jnp.asarray(RNG.randn(64 // s * 4, 64 // s * 4, 8)
+                               .astype(np.float32)) for s in (4, 8, 16, 32)]
+        boxes = jnp.asarray([[10.0, 12.0, 40.0, 50.0],
+                             [30.0, 20.0, 150.0, 180.0]], jnp.float32)
+        ref = np.asarray(multilevel_roi_align(
+            feats32, boxes, (4, 8, 16, 32), 7, canonical_size=64.0,
+            method="gather"))
+        got = np.asarray(multilevel_roi_align(
+            [f.astype(jnp.bfloat16) for f in feats32], boxes,
+            (4, 8, 16, 32), 7, canonical_size=64.0,
+            method="einsum")).astype(np.float32)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=0.03 * scale)
+
 
 class TestAnchors:
     def test_grid_anchor_geometry(self):
