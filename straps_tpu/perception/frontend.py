@@ -80,6 +80,32 @@ def _resize_for_test(image_rgb: np.ndarray, test_size) -> np.ndarray:
                       interpolation=cv2.INTER_LINEAR)
 
 
+_BIT_WEIGHTS = np.asarray([128, 64, 32, 16, 8, 4, 2, 1], np.uint8)
+
+
+def _pack_mask_bits(out: dict) -> dict:
+    """Transport-only: pack binary masks 8-pixels-per-byte on device (the
+    tunneled backend pulls ~24 MB/s, so mask bytes dominate the chunk
+    round trip).  Inverse of `np.unpackbits(..., axis=-1)`."""
+    m = out.get("masks")
+    if m is None or m.dtype != jnp.bool_ or m.shape[-1] % 8:
+        return out
+    out = dict(out)
+    m8 = m.reshape(m.shape[:-1] + (m.shape[-1] // 8, 8)).astype(jnp.uint8)
+    out["masks"] = (m8 * _BIT_WEIGHTS).sum(axis=-1).astype(jnp.uint8)
+    out["_masks_width"] = m.shape[-1]
+    return out
+
+
+def _unpack_mask_bits(out: dict) -> dict:
+    w = out.pop("_masks_width", None)
+    if w is not None:
+        packed = out["masks"]
+        out["masks"] = np.unpackbits(
+            packed, axis=-1, count=int(w)).astype(bool)
+    return out
+
+
 def make_batched_apply_fn(model, variables, normalise: bool = False):
     """One jitted, image-batched apply: the per-image model vmapped over a
     stacked (N, H, W, 3) batch.  O(1) jitted calls per folder instead of the
@@ -87,7 +113,8 @@ def make_batched_apply_fn(model, variables, normalise: bool = False):
     variables ride as jit arguments (see `make_apply_fn`).  With
     `normalise=True` the batch is raw (e.g. uint8) RGB and the detectron2
     pixel normalisation runs inside the jit — 4x less host->device
-    transfer."""
+    transfer.  Binary masks leave the device bit-packed;
+    `run_detector_batched` unpacks them back to bool transparently."""
     if normalise:
         from straps_tpu.perception.rcnn import normalise_image_device
 
@@ -96,7 +123,8 @@ def make_batched_apply_fn(model, variables, normalise: bool = False):
     else:
         def one(v, img):
             return model.apply(v, img)
-    jitted = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+    jitted = jax.jit(lambda v, b: _pack_mask_bits(
+        jax.vmap(one, in_axes=(None, 0))(v, b)))
     return lambda batch: jitted(variables, batch)
 
 
@@ -118,7 +146,7 @@ def run_detector_batched(model, variables, images_rgb, test_size=None,
     outs = []
     for s in range(0, len(idx_all), chunk):
         batch = jnp.asarray(inputs[idx_all[s:s + chunk]])
-        outs.append(jax.device_get(apply_fn(batch)))
+        outs.append(_unpack_mask_bits(jax.device_get(apply_fn(batch))))
     return {k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
 
 

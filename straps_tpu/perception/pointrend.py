@@ -101,7 +101,8 @@ def sample_fine_features(p2: jnp.ndarray, box: jnp.ndarray,
 def subdivision_inference(point_head_apply, coarse_logits: jnp.ndarray,
                           p2: jnp.ndarray, boxes: jnp.ndarray,
                           steps: int = SUBDIVISION_STEPS,
-                          num_points: int = SUBDIVISION_POINTS) -> jnp.ndarray:
+                          num_points: int = SUBDIVISION_POINTS,
+                          channel: int = None) -> jnp.ndarray:
     """Iterative subdivision mask refinement, static trip count.
 
     Args:
@@ -109,15 +110,26 @@ def subdivision_inference(point_head_apply, coarse_logits: jnp.ndarray,
       coarse_logits: (R, 7, 7, K).
       p2: (H, W, C) finest backbone level.
       boxes: (R, 4) xyxy image coords.
+      channel: if set, the refined GRID carries only this class channel
+        (the MLP still sees the full K-channel coarse logits at each
+        point, so the per-point math is identical) — the K=80 COCO grid
+        is otherwise resized/scattered 80x wider than the one channel
+        the silhouette path consumes, and the grid resizes dominate the
+        whole PointRend tail.  Output channel `channel` is bit-identical
+        to the all-channel run's.
     Returns:
-      (R, 7*2**steps, 7*2**steps, K) refined mask logits.
+      (R, 7*2**steps, 7*2**steps, K) refined mask logits — K=1 (the
+      selected channel) when `channel` is set.
     """
     R, S, _, K = coarse_logits.shape
-    mask = coarse_logits
+    ksel = (slice(None) if channel is None
+            else slice(channel, channel + 1))
+    mask = coarse_logits[..., ksel]
+    Kg = mask.shape[-1]
 
     for _ in range(steps):
         S = S * 2
-        mask = jax.image.resize(mask, (R, S, S, K), method="bilinear")
+        mask = jax.image.resize(mask, (R, S, S, Kg), method="bilinear")
         unc = uncertainty(mask[..., 0]).reshape(R, S * S)
         k = min(num_points, S * S)  # early steps have fewer grid points
         _, idx = jax.lax.top_k(unc, k)                      # (R, P)
@@ -132,9 +144,10 @@ def subdivision_inference(point_head_apply, coarse_logits: jnp.ndarray,
 
         fine, coarse_pt = jax.vmap(per_roi)(mask, pts01, boxes, coarse_logits)
         new_logits = point_head_apply(fine, coarse_pt)      # (R, P, K)
-        flat = mask.reshape(R, S * S, K)
-        flat = jax.vmap(lambda m, i, v: m.at[i].set(v))(flat, idx, new_logits)
-        mask = flat.reshape(R, S, S, K)
+        flat = mask.reshape(R, S * S, Kg)
+        flat = jax.vmap(lambda m, i, v: m.at[i].set(v))(
+            flat, idx, new_logits[..., ksel])
+        mask = flat.reshape(R, S, S, Kg)
     return mask
 
 
@@ -184,20 +197,44 @@ def mask_point_loss(point_logits: jnp.ndarray, gt_masks01: jnp.ndarray,
     return jnp.mean(loss)
 
 
+def _paste_axis_weights(coord: jnp.ndarray, S: int) -> jnp.ndarray:
+    """(N,) continuous sample coords -> (N, S) dense bilinear tap rows
+    (taps outside [0, S) contribute zero, matching `bilinear_sample`)."""
+    c0 = jnp.floor(coord)
+    frac = coord - c0
+    c0i = c0.astype(jnp.int32)
+    pos = jnp.arange(S, dtype=jnp.int32)
+
+    def tap(ci, w):
+        valid = (ci >= 0) & (ci < S)
+        hit = pos[None, :] == ci[:, None]
+        return jnp.where(hit & valid[:, None], w[:, None], 0.0)
+
+    return tap(c0i, 1.0 - frac) + tap(c0i + 1, frac)
+
+
 def paste_mask(mask_logits: jnp.ndarray, box: jnp.ndarray, img_h: int,
                img_w: int, threshold: float = 0.5) -> jnp.ndarray:
     """Paste one (S, S) mask into the full image at `box` (bilinear), then
     threshold — detectron2's paste_masks_in_image equivalent (sigmoid is
-    applied BEFORE interpolation, like mask_rcnn_inference + grid_sample)."""
+    applied BEFORE interpolation, like mask_rcnn_inference + grid_sample).
+
+    The bilinear resample grid is separable in x and y, so the paste runs
+    as two matmuls against dense per-axis tap rows (`Ry @ probs @ Rx^T`)
+    instead of img_h*img_w point gathers — the gathers were a dominant
+    cost of the mask tail at 512²x8 detections.  `precision="highest"`
+    keeps the result float-exact vs the gather formulation (the output is
+    thresholded at 0.5, where default-precision matmul error could flip
+    boundary pixels)."""
     S = mask_logits.shape[0]
     ys = jnp.arange(img_h, dtype=jnp.float32) + 0.5
     xs = jnp.arange(img_w, dtype=jnp.float32) + 0.5
-    u = (xs[None, :] - box[0]) / jnp.maximum(box[2] - box[0], 1e-6)
-    v = (ys[:, None] - box[1]) / jnp.maximum(box[3] - box[1], 1e-6)
-    px = u * S - 0.5
-    py = jnp.broadcast_to(v * S - 0.5, (img_h, img_w))
-    px = jnp.broadcast_to(px, (img_h, img_w))
+    u = (xs - box[0]) / jnp.maximum(box[2] - box[0], 1e-6)   # (img_w,)
+    v = (ys - box[1]) / jnp.maximum(box[3] - box[1], 1e-6)   # (img_h,)
+    ry = _paste_axis_weights(v * S - 0.5, S)                 # (img_h, S)
+    rx = _paste_axis_weights(u * S - 0.5, S)                 # (img_w, S)
     probs01 = jax.nn.sigmoid(mask_logits)
-    vals = bilinear_sample(probs01[..., None], px, py)[..., 0]
-    inside = (u >= 0) & (u < 1) & ((v >= 0) & (v < 1))
+    vals = jnp.einsum("ys,st,xt->yx", ry, probs01, rx,
+                      precision=jax.lax.Precision.HIGHEST)
+    inside = ((u >= 0) & (u < 1))[None, :] & ((v >= 0) & (v < 1))[:, None]
     return ((vals * inside) > threshold).astype(jnp.float32)

@@ -146,7 +146,10 @@ class PointRendRCNN(nn.Module):
                                 name="coarse_head")(mask_roi)
         point_head = PointHead(num_classes=self.num_classes,
                                name="point_head")
-        refined = subdivision_inference(point_head, coarse, feats[0], boxes)
+        # channel=0 (person): refine only the consumed class channel —
+        # the grid resizes over all 80 COCO channels dominate the tail.
+        refined = subdivision_inference(point_head, coarse, feats[0], boxes,
+                                        channel=0)
         out_size = self.output_size or image.shape[0]
         scale = out_size / image.shape[0]
         out_boxes = boxes * scale

@@ -60,6 +60,56 @@ class TestPointRendTraining:
         # area roughly box area
         assert abs(out.sum() - 32 * 32) < 200
 
+    def test_paste_mask_matches_gather_oracle(self):
+        """The separable-matmul paste must equal the direct per-pixel
+        bilinear_sample formulation, including boxes crossing the image
+        border."""
+        from straps_tpu.perception.ops import bilinear_sample
+
+        rng = np.random.RandomState(4)
+        logits = jnp.asarray(rng.randn(28, 28).astype(np.float32) * 3)
+        for box in ([10.0, 6.0, 50.0, 44.0], [-12.0, -5.0, 30.0, 40.0],
+                    [40.0, 30.0, 90.0, 80.0]):
+            box = jnp.asarray(box)
+            got = np.asarray(paste_mask(logits, box, 64, 64))
+            S = 28
+            ys = jnp.arange(64, dtype=jnp.float32) + 0.5
+            xs = jnp.arange(64, dtype=jnp.float32) + 0.5
+            u = (xs[None, :] - box[0]) / (box[2] - box[0])
+            v = (ys[:, None] - box[1]) / (box[3] - box[1])
+            px = jnp.broadcast_to(u * S - 0.5, (64, 64))
+            py = jnp.broadcast_to(v * S - 0.5, (64, 64))
+            vals = bilinear_sample(jax.nn.sigmoid(logits)[..., None],
+                                   px, py)[..., 0]
+            inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+            ref = np.asarray((vals * inside) > 0.5).astype(np.float32)
+            assert (got == ref).mean() > 0.999
+
+    def test_subdivision_single_channel_equivalence(self):
+        """`channel=0` refines a 1-channel grid; its output must be
+        bit-identical to channel 0 of the all-channel run (the MLP sees
+        the full coarse logits either way)."""
+        from straps_tpu.perception.pointrend import (
+            PointHead, subdivision_inference)
+
+        rng = np.random.RandomState(7)
+        R, K, C = 3, 8, 16
+        coarse = jnp.asarray(rng.randn(R, 7, 7, K).astype(np.float32))
+        p2 = jnp.asarray(rng.randn(32, 32, C).astype(np.float32))
+        boxes = jnp.asarray([[4.0, 4.0, 60.0, 60.0],
+                             [10.0, 0.0, 40.0, 50.0],
+                             [0.0, 0.0, 127.0, 127.0]], jnp.float32)
+        head = PointHead(fc_dim=32, num_classes=K)
+        variables = head.init(KEY, jnp.zeros((R, 5, C)), jnp.zeros((R, 5, K)))
+        apply = lambda f, c: head.apply(variables, f, c)
+        full = subdivision_inference(apply, coarse, p2, boxes,
+                                     steps=3, num_points=49)
+        one = subdivision_inference(apply, coarse, p2, boxes,
+                                    steps=3, num_points=49, channel=0)
+        assert one.shape == full.shape[:3] + (1,)
+        np.testing.assert_array_equal(np.asarray(one[..., 0]),
+                                      np.asarray(full[..., 0]))
+
 
 class TestDensePoseExtras:
     def test_deeplab_head_shapes(self):
