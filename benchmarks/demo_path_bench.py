@@ -51,7 +51,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from straps_tpu.perception import (
-        KeypointRCNN, PointRendRCNN, DEFAULT_IMAGE_SIZE, DETECTOR_TEST_SIZE,
+        DensePoseRCNN, KeypointRCNN, PointRendRCNN, DEFAULT_IMAGE_SIZE,
+        DETECTOR_TEST_SIZE,
     )
     from straps_tpu.perception.frontend import run_detector_batched
 
@@ -63,6 +64,10 @@ def main():
         "keypoint_rcnn": KeypointRCNN(output_size=size,
                                       backbone_dtype=dtype),
         "pointrend_rcnn": PointRendRCNN(output_size=size,
+                                        backbone_dtype=dtype),
+        # The reference's third detector (R101-FPN trunk,
+        # `predict/predict_densepose.py`) — silhouette-from-IUV source.
+        "densepose_rcnn": DensePoseRCNN(output_size=size,
                                         backbone_dtype=dtype),
     }
     from straps_tpu.perception.frontend import make_batched_apply_fn
