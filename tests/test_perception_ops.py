@@ -175,6 +175,8 @@ class TestRoiAlign:
             [0.0, 0.0, 250.0, 250.0],       # large -> coarse level
             [-20.0, -10.0, 30.0, 25.0],     # crosses the top-left border
             [200.0, 210.0, 300.0, 290.0],   # crosses the bottom-right
+            [40.0, 60.0, 40.0, 60.0],       # zero-area (degenerate NMS pad)
+            [-90.0, -80.0, -50.0, -40.0],   # entirely outside: all taps zero
         ], jnp.float32)
         for aligned in (True, False):
             a = np.asarray(multilevel_roi_align(
