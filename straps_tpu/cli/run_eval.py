@@ -10,9 +10,11 @@ import json
 
 from straps_tpu.config import PredictConfig
 from straps_tpu.eval_harness import load_eval_npz, run_evaluation
+from straps_tpu.utils.profiling import enable_persistent_compile_cache
 
 
 def main(argv=None):
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description="Evaluate on SSP-3D/3DPW-style npz")
     parser.add_argument("--dataset", required=True, help="eval npz path")
     parser.add_argument("--checkpoint", default=None)

@@ -8,9 +8,11 @@ import argparse
 
 from straps_tpu.config import PredictConfig
 from straps_tpu.predict import predict_3d
+from straps_tpu.utils.profiling import enable_persistent_compile_cache
 
 
 def main(argv=None):
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description="Predict 3D human shape/pose")
     parser.add_argument("--input", required=True,
                         help="input dir (cached proxies: *_silhouette.npy + "

@@ -11,9 +11,11 @@ import argparse
 
 from straps_tpu.config import TrainConfig, load_config
 from straps_tpu.train import train
+from straps_tpu.utils.profiling import enable_persistent_compile_cache
 
 
 def main(argv=None):
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description="Train the STRAPS-TPU regressor")
     parser.add_argument("--config", default=None, help="YAML config file")
     parser.add_argument("--synthetic-data", action="store_true",

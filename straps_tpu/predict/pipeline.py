@@ -88,6 +88,21 @@ def load_cached_proxies(proxy_dir: str, img_wh: int,
     return names, proxies
 
 
+def save_proxies(proxy_dir: str, names, sils, joints) -> None:
+    """Persist detector-stage proxies in `load_cached_proxies`' format:
+    run the expensive detector stage once, then iterate on the regressor
+    with `silhouettes_from=cached, proxy_dir=<out_dir>/proxies`.  The
+    (H, W) float32 silhouette and (17, 2) float32 joints are stored
+    verbatim (padded-square detector frame), so the cached re-run builds
+    bit-identical proxy representations."""
+    os.makedirs(proxy_dir, exist_ok=True)
+    for name, sil, j in zip(names, sils, joints):
+        np.save(os.path.join(proxy_dir, f"{name}_silhouette.npy"),
+                np.asarray(sil, np.float32))
+        np.save(os.path.join(proxy_dir, f"{name}_joints2D.npy"),
+                np.asarray(j, np.float32))
+
+
 def load_regressor_variables(cfg: PredictConfig, assets):
     model = build_regressor(assets.mean_pose_6d, assets.mean_shape,
                             in_channels=cfg.model.resnet_in_channels,
@@ -222,6 +237,9 @@ def detect_and_build_proxies(cfg: PredictConfig):
         # alongside the proxy, `predict_3D.py:116-121` image_out_wh).
         vis.append({"crop": crop_image_like_proxy(sil, img),
                     "joints_vis": joints_vis, "silhouette_vis": sil_vis})
+    # Cache the detector outputs so later runs can skip this stage
+    # entirely (silhouettes_from="cached" + proxy_dir pointing here).
+    save_proxies(os.path.join(cfg.out_dir, "proxies"), names, sils, joints)
     proxies, _ = batch_silhouettes_joints_to_proxies(
         jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(joints)),
         cfg.img_wh, heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))

@@ -48,3 +48,24 @@ def trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_persistent_compile_cache(path: str = None) -> str:
+    """Point JAX's persistent compilation cache at a stable directory.
+
+    The CLIs call this at startup so repeat invocations skip XLA
+    recompilation (the reference has no equivalent concern — torch eagerly
+    executes; here a cold 800² detector program costs minutes to build).
+    Override the location with $STRAPS_TPU_COMPILE_CACHE; set it to the
+    empty string to disable.
+    """
+    import os
+    import tempfile
+
+    if path is None:
+        path = os.environ.get(
+            "STRAPS_TPU_COMPILE_CACHE",
+            os.path.join(tempfile.gettempdir(), "straps_tpu_jax_cache"))
+    if path:
+        jax.config.update("jax_compilation_cache_dir", path)
+    return path

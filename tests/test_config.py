@@ -42,3 +42,44 @@ class TestConfig:
                           ["silhouettes_from=pointrend", "input_dir=/tmp/x"])
         assert cfg.silhouettes_from == "pointrend"
         assert cfg.input_dir == "/tmp/x"
+
+
+class TestCompileCacheHelper:
+    def test_clis_wire_the_cache(self, monkeypatch):
+        """Every CLI entry point must set up the persistent compile cache
+        before doing anything else (a cold 800-square detector program costs
+        minutes of remote compile; see utils/profiling.py)."""
+        import pytest as _pytest
+
+        from straps_tpu.cli import run_eval, run_predict, run_train
+
+        calls = []
+        for mod in (run_train, run_predict, run_eval):
+            monkeypatch.setattr(mod, "enable_persistent_compile_cache",
+                                lambda m=mod: calls.append(m.__name__))
+            with _pytest.raises(SystemExit):
+                mod.main(["--help"])
+        assert len(calls) == 3
+
+
+    def test_default_and_env_override(self, monkeypatch):
+        import jax
+        from straps_tpu.utils.profiling import enable_persistent_compile_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            monkeypatch.delenv("STRAPS_TPU_COMPILE_CACHE", raising=False)
+            p = enable_persistent_compile_cache()
+            assert p.endswith("straps_tpu_jax_cache")
+            assert jax.config.jax_compilation_cache_dir == p
+
+            monkeypatch.setenv("STRAPS_TPU_COMPILE_CACHE", "/tmp/altcache")
+            assert enable_persistent_compile_cache() == "/tmp/altcache"
+            assert jax.config.jax_compilation_cache_dir == "/tmp/altcache"
+
+            # empty string disables the override entirely
+            monkeypatch.setenv("STRAPS_TPU_COMPILE_CACHE", "")
+            assert enable_persistent_compile_cache() == ""
+            assert jax.config.jax_compilation_cache_dir == "/tmp/altcache"
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)

@@ -83,6 +83,31 @@ class TestPredict:
         assert os.path.exists(tmp_path / "out" / "0000_verts.npy")
         assert np.all(np.isfinite(out["verts"]))
 
+    def test_save_proxies_cached_roundtrip(self, tmp_path):
+        """The detector path persists its silhouettes/joints via
+        `save_proxies`; re-loading them through `load_cached_proxies` must
+        rebuild bit-identical proxy representations."""
+        from straps_tpu.predict.pipeline import (
+            load_cached_proxies, save_proxies,
+        )
+
+        rng = np.random.RandomState(3)
+        sils, joints, names = [], [], []
+        for i in range(2):
+            sil = np.zeros((512, 512), np.float32)
+            sil[80 + 10 * i:400, 140:360 - 20 * i] = 1.0
+            sils.append(sil)
+            joints.append(rng.uniform(150, 350, (17, 2)).astype(np.float32))
+            names.append(f"img{i}")
+        direct, _ = batch_silhouettes_joints_to_proxies(
+            jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(joints)), 256)
+
+        d = str(tmp_path / "proxies")
+        save_proxies(d, names, sils, joints)
+        got_names, cached = load_cached_proxies(d, 256)
+        assert got_names == names
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(direct))
+
     def test_densepose_binary(self):
         i_ch = np.array([[0, 3], [24, 0]])
         np.testing.assert_array_equal(densepose_iuv_to_silhouette(i_ch),
