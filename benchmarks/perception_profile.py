@@ -40,12 +40,17 @@ def main():
     rng = np.random.RandomState(0)
 
     def timeit(fn, *args, n=10):
-        out = fn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        # Host-pull completion barrier (CLAUDE.md), but pull ONE element
+        # sliced ON DEVICE: np.asarray(full_leaf) would ship the whole
+        # array over the ~24 MB/s tunnel inside the timed window (~1.7 s
+        # for an 800^2 backbone map), inflating every stage by transfer/n.
+        def barrier(out):
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        barrier(fn(*args))
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        barrier(out)
         return (time.perf_counter() - t0) / n * 1e3
 
     image = jnp.asarray(rng.uniform(-2, 2, (1, img, img, 3)).astype(np.float32))

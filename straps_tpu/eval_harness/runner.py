@@ -36,14 +36,14 @@ def load_eval_npz(path: str) -> Dict[str, np.ndarray]:
     return data
 
 
-def gt_render_chunk_size(img_wh: int, budget_bytes: float = 4e9,
+def gt_render_chunk_size(img_wh: int, budget_bytes: float = 4.5e9,
                          face_chunk: int = 128) -> int:
     """Sub-batch size for the XLA raster path from its memory model.
 
     The scan keeps ~8 live (B, face_chunk, img_wh^2) f32 temporaries
     (coverage/edge/depth tiles); calibrated against the observed 17GB HBM
-    demand at B=64 256^2 on a 16GB v5e (-> ~266MB/sample).  A 4GB budget
-    reproduces the empirically-safe chunk=15..16 at 256^2 and scales down
+    demand at B=64 256^2 on a 16GB v5e (-> ~266MB/sample).  A 4.5GB budget
+    reproduces the empirically-validated chunk=16 at 256^2 and scales down
     automatically when img_wh grows (the r2 OOM re-trip hazard)."""
     per_sample = 8 * face_chunk * img_wh * img_wh * 4
     return max(1, int(budget_bytes // per_sample))
@@ -92,10 +92,16 @@ def silhouette_crop_box(sil: np.ndarray, scale_factor: float = 1.2):
         return 0, 0, 1, 1
     r0, r1 = int(rows[0]), int(rows[-1])
     c0, c1 = int(cols[0]), int(cols[-1])
-    centre_r, centre_c = (r0 + r1) / 2.0, (c0 + c1) / 2.0
-    wh = max(r1 - r0, c1 - c0) * scale_factor
-    top_r, top_c = int(centre_r - wh / 2.0), int(centre_c - wh / 2.0)
-    bot_r, bot_c = int(centre_r + wh / 2.0), int(centre_c + wh / 2.0)
+    # Arithmetic in float32 like the device kernel: f64 here can truncate
+    # a corner one pixel differently (e.g. bbox side 170: f64 top=83 vs
+    # device f32 top=82) and offset the image-frame IoU paste box.
+    f32 = np.float32
+    centre_r = f32(r0 + r1) / f32(2.0)
+    centre_c = f32(c0 + c1) / f32(2.0)
+    wh = f32(max(r1 - r0, c1 - c0)) * f32(scale_factor)
+    half = wh / f32(2.0)
+    top_r, top_c = int(centre_r - half), int(centre_c - half)
+    bot_r, bot_c = int(centre_r + half), int(centre_c + half)
     return top_r, top_c, max(bot_r - top_r, 1), max(bot_c - top_c, 1)
 
 

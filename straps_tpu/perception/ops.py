@@ -322,7 +322,7 @@ def multilevel_roi_align(features_per_level, boxes: jnp.ndarray,
     return out.mean(axis=(2, 4))
 
 
-def _axis_weights(coord: jnp.ndarray, extent: jnp.ndarray, length: int,
+def bilinear_axis_rows(coord: jnp.ndarray, extent: jnp.ndarray, length: int,
                   offset=None) -> jnp.ndarray:
     """Per-sample bilinear tap weights along one axis as a dense row.
 
@@ -400,9 +400,9 @@ def _multilevel_roi_align_mm(features_per_level, boxes, strides,
 
     R, O = boxes.shape[0], output_size
     # Fold the s-sample-per-bin average into the weight rows: (R, O, axis).
-    ry = _axis_weights(ys, Hb, Hsum, offset=off_y)
+    ry = bilinear_axis_rows(ys, Hb, Hsum, offset=off_y)
     ry = ry.reshape(R, O, s, Hsum).sum(axis=2) / s
-    rx = _axis_weights(xs, Wb, Wmax)
+    rx = bilinear_axis_rows(xs, Wb, Wmax)
     rx = rx.reshape(R, O, s, Wmax).sum(axis=2) / s
 
     if packed.dtype == jnp.bfloat16:

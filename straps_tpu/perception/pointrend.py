@@ -115,8 +115,13 @@ def subdivision_inference(point_head_apply, coarse_logits: jnp.ndarray,
         point, so the per-point math is identical) — the K=80 COCO grid
         is otherwise resized/scattered 80x wider than the one channel
         the silhouette path consumes, and the grid resizes dominate the
-        whole PointRend tail.  Output channel `channel` is bit-identical
-        to the all-channel run's.
+        whole PointRend tail.  For `channel=0` the output is bit-identical
+        to the all-channel run (asserted by test).  For other channels the
+        refinement points score the SELECTED channel's uncertainty —
+        detectron2's per-predicted-class behaviour
+        (`point_rend/roi_heads.py:193-218`) — whereas the all-channel run
+        here always scores channel 0, so the two runs refine different
+        points for `channel != 0`.
     Returns:
       (R, 7*2**steps, 7*2**steps, K) refined mask logits — K=1 (the
       selected channel) when `channel` is set.
@@ -199,18 +204,12 @@ def mask_point_loss(point_logits: jnp.ndarray, gt_masks01: jnp.ndarray,
 
 def _paste_axis_weights(coord: jnp.ndarray, S: int) -> jnp.ndarray:
     """(N,) continuous sample coords -> (N, S) dense bilinear tap rows
-    (taps outside [0, S) contribute zero, matching `bilinear_sample`)."""
-    c0 = jnp.floor(coord)
-    frac = coord - c0
-    c0i = c0.astype(jnp.int32)
-    pos = jnp.arange(S, dtype=jnp.int32)
+    (taps outside [0, S) contribute zero, matching `bilinear_sample`).
+    Offset-free single-extent case of `ops.bilinear_axis_rows`."""
+    from straps_tpu.perception.ops import bilinear_axis_rows
 
-    def tap(ci, w):
-        valid = (ci >= 0) & (ci < S)
-        hit = pos[None, :] == ci[:, None]
-        return jnp.where(hit & valid[:, None], w[:, None], 0.0)
-
-    return tap(c0i, 1.0 - frac) + tap(c0i + 1, frac)
+    return bilinear_axis_rows(coord[None, :],
+                              jnp.full((1,), S, jnp.int32), S)[0]
 
 
 def paste_mask(mask_logits: jnp.ndarray, box: jnp.ndarray, img_h: int,

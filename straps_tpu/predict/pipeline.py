@@ -131,7 +131,7 @@ def load_regressor_variables(cfg: PredictConfig, assets):
     return model, variables
 
 
-def detect_and_build_proxies(cfg: PredictConfig):
+def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True):
     """Run the JAX detector front-end on a folder of images: pad to square,
     resize to 512, Keypoint-RCNN joints + PointRend/DensePose silhouette,
     largest-centred instance selection, proxy construction — the
@@ -221,6 +221,9 @@ def detect_and_build_proxies(cfg: PredictConfig):
         sil, sel = select_silhouette(silh_out, i)
         sils.append(sil)
         joints.append(kp[:, :2])
+        if not build_vis:
+            vis.append(None)
+            continue
         # Detector vis images, matching the reference's proxy_vis content
         # (`predict_joints2D.py:53-59`, `predict_silhouette_pointrend.py:53-57`,
         # `predict_densepose.py:95-115`).
@@ -296,7 +299,8 @@ def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarra
         # renders/scatters and proxy-channel images.
         vis = [None] * len(names)
     else:
-        names, proxies, vis = detect_and_build_proxies(cfg)
+        names, proxies, vis = detect_and_build_proxies(cfg,
+                                                       build_vis=save_vis)
     predict = make_predict_fn(model, variables, assets, cfg.img_wh)
     out = predict(proxies)
     out_np = {k: np.asarray(v) for k, v in out.items()}

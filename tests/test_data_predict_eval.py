@@ -341,6 +341,42 @@ class TestImageFrameIoU:
         # achievable IoU below 1 but the round trip must dominate.
         assert inter / union > 0.85, inter / union
 
+    def test_crop_box_matches_device_f32_truncation(self):
+        """The host crop-box mirror must truncate corners exactly like the
+        device kernel's float32 math: python-float (f64) arithmetic lands
+        on the other side of an int boundary for bboxes whose half-extent
+        is near-integral (e.g. side 170 at centre 185: f64 top=83, device
+        f32 top=82)."""
+        from straps_tpu.eval_harness.runner import silhouette_crop_box
+
+        def device_box(r0, r1, c0, c1, scale=1.2):
+            """Corner math of `crop_and_resize_padded`
+            (`geometry/bbox.py:149-160`) run through jnp float32."""
+            centre_r = jnp.asarray(r0 + r1, jnp.float32) / 2.0
+            centre_c = jnp.asarray(c0 + c1, jnp.float32) / 2.0
+            wh = jnp.maximum(jnp.asarray(r1 - r0, jnp.float32),
+                             jnp.asarray(c1 - c0, jnp.float32)) * scale
+            top_r = (centre_r - wh / 2.0).astype(jnp.int32)
+            top_c = (centre_c - wh / 2.0).astype(jnp.int32)
+            bot_r = (centre_r + wh / 2.0).astype(jnp.int32)
+            bot_c = (centre_c + wh / 2.0).astype(jnp.int32)
+            return (int(top_r), int(top_c),
+                    max(int(bot_r) - int(top_r), 1),
+                    max(int(bot_c) - int(top_c), 1))
+
+        rng = np.random.RandomState(7)
+        cases = [(100, 270, 150, 320)]      # side 170: the f64-vs-f32 case
+        for _ in range(120):
+            r0 = int(rng.randint(0, 200))
+            c0 = int(rng.randint(0, 200))
+            cases.append((r0, r0 + int(rng.randint(5, 300)),
+                          c0, c0 + int(rng.randint(5, 300))))
+        for r0, r1, c0, c1 in cases:
+            sil = np.zeros((512, 512), np.float32)
+            sil[r0:r1 + 1, c0:c1 + 1] = 1.0   # bbox rows/cols inclusive
+            assert silhouette_crop_box(sil) == device_box(r0, r1, c0, c1), \
+                (r0, r1, c0, c1)
+
     def test_image_frame_iou_end_to_end(self, tmp_path):
         rng = np.random.RandomState(1)
         n = 4
