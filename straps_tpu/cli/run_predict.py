@@ -35,6 +35,11 @@ def main(argv=None):
                         choices=["clean", "legacy"],
                         help="'legacy' = reference-exact grid, for "
                              "converted reference checkpoints")
+    parser.add_argument("--no-vis", action="store_true",
+                        help="skip all visualisation outputs (npy "
+                             "predictions + cached proxies only — the "
+                             "reference's save_proxy_vis/render_vis=False, "
+                             "`run_predict.py:19-20`)")
     args = parser.parse_args(argv)
 
     cfg = PredictConfig(input_dir=args.input, checkpoint=args.checkpoint,
@@ -45,7 +50,7 @@ def main(argv=None):
                         allow_random_detectors=args.allow_random_detectors,
                         heatmap_mode=args.heatmap_mode)
     cfg.model.resnet_layers = args.resnet_layers
-    out = predict_3d(cfg)
+    out = predict_3d(cfg, save_vis=not args.no_vis)
     print(f"predicted {len(out['names'])} images -> {args.out_dir}")
     for i, name in enumerate(out["names"]):
         print(f"  {name}: cam_wp={out['cam_wp'][i].round(3).tolist()} "

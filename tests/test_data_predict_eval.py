@@ -83,6 +83,21 @@ class TestPredict:
         assert os.path.exists(tmp_path / "out" / "0000_verts.npy")
         assert np.all(np.isfinite(out["verts"]))
 
+    def test_predict_cli_no_vis(self, tmp_path, monkeypatch):
+        """`--no-vis` runs the prediction-only surface: npy outputs, no
+        vis directories (reference save_proxy_vis/render_vis=False)."""
+        # Keep the suite's compile cache location.
+        monkeypatch.setenv("STRAPS_TPU_COMPILE_CACHE", "/tmp/jax_cache")
+        from straps_tpu.cli.run_predict import main
+
+        d = str(tmp_path / "proxies")
+        self._write_cached_proxies(d)
+        out = str(tmp_path / "out")
+        main(["--input", d, "--out-dir", out, "--no-vis"])
+        assert os.path.exists(os.path.join(out, "0000_verts.npy"))
+        for vis_dir in ("verts_vis", "rend_vis", "proxy_vis"):
+            assert not os.path.isdir(os.path.join(out, vis_dir))
+
     def test_save_proxies_cached_roundtrip(self, tmp_path):
         """The detector path persists its silhouettes/joints via
         `save_proxies`; re-loading them through `load_cached_proxies` must
