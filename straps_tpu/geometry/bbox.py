@@ -104,24 +104,45 @@ def crop_and_resize_seg_joints(seg: jnp.ndarray, joints2d: jnp.ndarray,
                                              jnp.zeros(2, dtype=jnp.float32))
 
 
+def square_bbox_corners(seg: jnp.ndarray, scale_factor,
+                        centre_offset=None):
+    """UNCLAMPED int32 corners of the square silhouette-bbox crop.
+
+    The one copy of the centre/side/truncation convention every crop path
+    shares (train jittered crop, inference padded crop; host mirrors:
+    `eval_harness.runner.silhouette_crop_box`,
+    `predict.pipeline.crop_image_like_proxy`).  Corners truncate toward
+    zero like the reference's `.astype(np.int16)`; arithmetic is float32 —
+    the host mirrors must match it (f64 truncates differently for
+    near-integral half-extents).
+
+    Returns (top_r, top_c, bot_r, bot_c) int32 scalars.
+    """
+    r0, r1, c0, c1 = mask_bounding_box(seg)
+    centre_r = (r0 + r1).astype(jnp.float32) / 2.0
+    centre_c = (c0 + c1).astype(jnp.float32) / 2.0
+    if centre_offset is not None:
+        centre_r = centre_r + centre_offset[0]
+        centre_c = centre_c + centre_offset[1]
+    bb_h = (r1 - r0).astype(jnp.float32)
+    bb_w = (c1 - c0).astype(jnp.float32)
+    wh = jnp.maximum(bb_h, bb_w) * scale_factor
+    top_r = (centre_r - wh / 2.0).astype(jnp.int32)
+    top_c = (centre_c - wh / 2.0).astype(jnp.int32)
+    bot_r = (centre_r + wh / 2.0).astype(jnp.int32)
+    bot_c = (centre_c + wh / 2.0).astype(jnp.int32)
+    return top_r, top_c, bot_r, bot_c
+
+
 def crop_and_resize_seg_joints_centre(seg: jnp.ndarray, joints2d: jnp.ndarray,
                                       out_wh: int, scale_factor: jnp.ndarray,
                                       centre_offset: jnp.ndarray
                                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """As `crop_and_resize_seg_joints` with an additive (row, col) centre jitter."""
     h, w = seg.shape
-    r0, r1, c0, c1 = mask_bounding_box(seg)
-    centre_r = (r0 + r1).astype(jnp.float32) / 2.0 + centre_offset[0]
-    centre_c = (c0 + c1).astype(jnp.float32) / 2.0 + centre_offset[1]
-    bb_h = (r1 - r0).astype(jnp.float32)
-    bb_w = (c1 - c0).astype(jnp.float32)
-    wh = jnp.maximum(bb_h, bb_w) * scale_factor
-    # int16 truncation of corners, then clamp at 0 — matches the reference's
-    # `.astype(np.int16)` + `top_left[top_left < 0] = 0`.
-    top_r = (centre_r - wh / 2.0).astype(jnp.int32)
-    top_c = (centre_c - wh / 2.0).astype(jnp.int32)
-    bot_r = (centre_r + wh / 2.0).astype(jnp.int32)
-    bot_c = (centre_c + wh / 2.0).astype(jnp.int32)
+    # Corners clamp at 0 — matches the reference's `top_left[top_left < 0] = 0`.
+    top_r, top_c, bot_r, bot_c = square_bbox_corners(seg, scale_factor,
+                                                     centre_offset)
     top_r_cl = jnp.maximum(top_r, 0)
     top_c_cl = jnp.maximum(top_c, 0)
     bot_r_cl = jnp.maximum(bot_r, 0)
@@ -147,16 +168,7 @@ def crop_and_resize_padded(seg: jnp.ndarray, joints2d: jnp.ndarray, out_wh: int,
     before resizing, and joints are offset by the *unclamped* top-left corner.
     """
     h, w = seg.shape
-    r0, r1, c0, c1 = mask_bounding_box(seg)
-    centre_r = (r0 + r1).astype(jnp.float32) / 2.0
-    centre_c = (c0 + c1).astype(jnp.float32) / 2.0
-    bb_h = (r1 - r0).astype(jnp.float32)
-    bb_w = (c1 - c0).astype(jnp.float32)
-    wh = jnp.maximum(bb_h, bb_w) * scale_factor
-    top_r = (centre_r - wh / 2.0).astype(jnp.int32)
-    top_c = (centre_c - wh / 2.0).astype(jnp.int32)
-    bot_r = (centre_r + wh / 2.0).astype(jnp.int32)
-    bot_c = (centre_c + wh / 2.0).astype(jnp.int32)
+    top_r, top_c, bot_r, bot_c = square_bbox_corners(seg, scale_factor)
     crop_h = jnp.maximum(bot_r - top_r, 1)
     crop_w = jnp.maximum(bot_c - top_c, 1)
     out = _nearest_resample(seg, top_r, top_c, crop_h, crop_w, out_wh)

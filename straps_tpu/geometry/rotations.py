@@ -5,6 +5,7 @@ Covers the conversions the reference performs with torch/cv2
 batched, jit-friendly XLA ops.
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -78,7 +79,14 @@ def rodrigues(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotmat_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrices -> axis-angle (log map). Inverse of `rodrigues`."""
+    """Rotation matrices -> axis-angle (log map). Inverse of `rodrigues`.
+
+    Three branches on sin(angle): the generic antisymmetric-part formula;
+    zeros at angle~0; and at angle~pi (where the antisymmetric part
+    vanishes — R = -I + 2 axis axis^T) the axis is recovered from the
+    dominant column of (R + I)/2.  The pi-branch sign is inherently
+    ambiguous (R(pi, a) == R(pi, -a)); either log is returned.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     angle = jnp.arccos(cos)
@@ -89,7 +97,23 @@ def rotmat_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
     axis = jnp.stack([ax, ay, az], axis=-1)
     sin = jnp.sin(angle)[..., None]
     small = jnp.abs(sin) < 1e-6
-    axis = jnp.where(small, jnp.zeros_like(axis), axis / jnp.where(small, 1.0, 2.0 * sin))
+    axis = jnp.where(small, jnp.zeros_like(axis),
+                     axis / jnp.where(small, 1.0, 2.0 * sin))
+    # angle ~ pi: (R + I)/2 ~ axis axis^T; take its largest-diagonal
+    # column (guaranteed >= 1/3 on the axis' dominant component).  The
+    # branch engages below sin < 1e-3, where the antisymmetric entries
+    # (differences of near-equal O(1) values) lose ~half their f32 bits
+    # to cancellation while the symmetric form stays well-conditioned.
+    sym = (R + jnp.eye(3, dtype=R.dtype)) / 2.0
+    diag = jnp.stack([sym[..., 0, 0], sym[..., 1, 1], sym[..., 2, 2]],
+                     axis=-1)
+    k = jnp.argmax(diag, axis=-1)
+    onehot = jax.nn.one_hot(k, 3, dtype=R.dtype)
+    col = jnp.einsum("...ij,...j->...i", sym, onehot)
+    dmax = jnp.maximum(jnp.max(diag, axis=-1, keepdims=True), 1e-12)
+    axis_pi = col / jnp.sqrt(dmax)
+    near_pi = (jnp.abs(sin) < 1e-3) & (trace[..., None] < 0.0)
+    axis = jnp.where(near_pi, axis_pi, axis)
     return axis * angle[..., None]
 
 

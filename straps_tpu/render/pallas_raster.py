@@ -178,6 +178,13 @@ def rasterize_pallas(planes: jnp.ndarray, bounds: jnp.ndarray,
       face_id (B, H, W) int32 (-1 = background) — or the attribute map when
       `face_attr` is given (0 = background) — and depth (B, H, W) f32.
     """
+    if img_h % ROWS_PER_BLOCK:
+        # The grid covers img_h // ROWS_PER_BLOCK row blocks; a remainder
+        # would leave the bottom rows' output block unvisited
+        # (uninitialised VMEM) with no error.  (img_w needs no such check:
+        # the full width rides one lane-padded block.)
+        raise ValueError(f"img_h must be a multiple of {ROWS_PER_BLOCK}, "
+                         f"got {img_h} (use the XLA backend for odd sizes)")
     B, F = planes.shape[0], planes.shape[1]
     pad = (-F) % FACE_CHUNK
     if pad:

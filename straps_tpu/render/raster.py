@@ -135,37 +135,23 @@ def sort_faces_by_ymin(planes: jnp.ndarray, screen_xy: jnp.ndarray,
     return sorted_planes, order
 
 
-def face_chunk_row_bounds_from_planes(screen_xy: jnp.ndarray,
-                                      faces: jnp.ndarray,
-                                      order: jnp.ndarray, chunk: int,
-                                      img_h: int) -> jnp.ndarray:
-    """Per-chunk [ymin, ymax) bounds for *sorted* face order."""
-    vy = screen_xy[:, faces, 1]                       # (B, F, 3)
-    fymin = jnp.take_along_axis(jnp.min(vy, axis=-1), order, axis=1)
-    fymax = jnp.take_along_axis(jnp.max(vy, axis=-1), order, axis=1)
-    B, F = fymin.shape
-    pad = (-F) % chunk
-    if pad:
-        fymin = jnp.pad(fymin, ((0, 0), (0, pad)), constant_values=np.inf)
-        fymax = jnp.pad(fymax, ((0, 0), (0, pad)), constant_values=-np.inf)
-    nch = (F + pad) // chunk
-    cmin = jnp.min(fymin.reshape(B, nch, chunk), axis=-1)
-    cmax = jnp.max(fymax.reshape(B, nch, chunk), axis=-1)
-    lo = jnp.clip(jnp.floor(cmin), 0, img_h).astype(jnp.int32)
-    hi = jnp.clip(jnp.ceil(cmax) + 1, 0, img_h).astype(jnp.int32)
-    return jnp.stack([lo, hi], axis=-1)
-
-
 def face_chunk_row_bounds(screen_xy: jnp.ndarray, faces: jnp.ndarray,
                           chunk: int, img_h: int) -> jnp.ndarray:
     """Per-face-chunk [ymin, ymax] row bounds for culling.
 
     Returns (B, num_chunks, 2) int32; chunks whose bound range misses a pixel
-    row block can be skipped entirely by the rasteriser.
+    row block can be skipped entirely by the rasteriser.  (For a sorted face
+    order, pass screen_xy/faces reordered the same way — the removed
+    `..._from_planes` variant was an unused near-duplicate.)
     """
     vy = screen_xy[:, faces, 1]                  # (B, F, 3)
     fymin = jnp.min(vy, axis=-1)
     fymax = jnp.max(vy, axis=-1)
+    # A face projecting to NaN (vertex at view z=0) must not poison its
+    # chunk's min/max — NaN would propagate and cull the whole 128-face
+    # chunk including its valid faces.  Degenerate bounds exclude just it.
+    fymin = jnp.where(jnp.isnan(fymin), np.inf, fymin)
+    fymax = jnp.where(jnp.isnan(fymax), -np.inf, fymax)
     B, F = fymin.shape
     pad = (-F) % chunk
     if pad:

@@ -153,6 +153,12 @@ def load_assets(smpl_dir: Optional[str] = None,
                                ("J_regressor_cocoplus", "cocoplus_regressor.npy"),
                                ("J_regressor_h36m", "J_regressor_h36m.npy")]:
                 path = os.path.join(root, fname)
+                if not os.path.exists(path):
+                    raise FileNotFoundError(
+                        f"{path} is required alongside {pkl}: the 90-joint "
+                        f"superset needs the three extra joint regressors "
+                        f"(reference layout `additional/<*.npy>` next to "
+                        f"`additional/smpl/`, `models/smpl_official.py:17-19`)")
                 d[key] = np.load(path).astype(np.float32)
             vt_path = os.path.join(root, "vertex_texture.npy")
             cp_path = os.path.join(root, "cube_parts.npy")

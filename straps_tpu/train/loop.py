@@ -106,25 +106,41 @@ def train(cfg: TrainConfig, assets=None,
             with timer.measure("train_step"):
                 state, loss, task_losses, per_frame = train_step(
                     state, sub, batch["pose"], batch["shape"])
-            # One host transfer for all scalars/metrics (per-leaf float()
-            # would cost a device round trip each on tunneled TPUs).
-            loss, task_losses, per_frame = jax.device_get(
-                (loss, task_losses, per_frame))
+                # One host transfer for all scalars/metrics (per-leaf
+                # float() would cost a device round trip each on tunneled
+                # TPUs).  The pull doubles as the completion barrier, so
+                # it belongs INSIDE the timed block: jit dispatch alone
+                # returns futures in ~1 ms.
+                loss, task_losses, per_frame = jax.device_get(
+                    (loss, task_losses, per_frame))
             tracker.update_per_batch("train", float(loss), task_losses,
                                      per_frame, b["pose"].shape[0])
 
-        for i, b in enumerate(epoch_batches(val_ds, cfg.batch_size, rng)):
+        # Val covers EVERY sample (the reference DataLoader keeps the tail,
+        # `train_synthetic_otf_rendering.py:245-348`): the partial last
+        # batch is padded to the static jit shape by cycling samples;
+        # per-frame metrics are trimmed back to the real count.  The tail
+        # batch's (scalar) losses average over the cycled duplicates —
+        # real samples counted twice, not padding garbage.
+        for i, b in enumerate(epoch_batches(val_ds, cfg.batch_size, rng,
+                                            shuffle=False, drop_last=False)):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
             key, sub = jax.random.split(key)
+            n_real = b["pose"].shape[0]
+            if n_real < cfg.batch_size:
+                fill = np.arange(cfg.batch_size - n_real) % n_real
+                b = {k: np.concatenate([v, v[fill]]) for k, v in b.items()}
             batch = shard_batch({"pose": b["pose"], "shape": b["shape"]}, mesh)
             with timer.measure("val_step"):
                 loss, task_losses, per_frame = val_step(
                     state, sub, batch["pose"], batch["shape"])
-            loss, task_losses, per_frame = jax.device_get(
-                (loss, task_losses, per_frame))
+                loss, task_losses, per_frame = jax.device_get(
+                    (loss, task_losses, per_frame))
+            per_frame = {k: np.asarray(v)[:n_real]
+                         for k, v in per_frame.items()}
             tracker.update_per_batch("val", float(loss), task_losses,
-                                     per_frame, b["pose"].shape[0])
+                                     per_frame, n_real)
 
         tracker.update_per_epoch()
         if verbose:
@@ -142,7 +158,12 @@ def train(cfg: TrainConfig, assets=None,
             best_params = jax.tree_util.tree_map(np.asarray, state.params)
             best_epoch = epoch
 
-        if epoch % cfg.epochs_per_save == 0:
+        if (epoch % cfg.epochs_per_save == 0
+                or epoch == cfg.num_epochs - 1):
+            # Also save at the FINAL epoch: with the reference's
+            # boundary-only cadence (`:365-380`) a 100-epoch run's last
+            # save is epoch 90 and any best weights found in 91-99 exist
+            # only in the returned value, which CLI callers discard.
             save_checkpoint(
                 f"{cfg.model_save_path}_epoch{epoch}",
                 state=state, epoch=epoch, best_epoch=best_epoch,

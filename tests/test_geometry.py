@@ -50,6 +50,23 @@ class TestRotations:
         aa2 = np.asarray(rotmat_to_axis_angle(R))
         np.testing.assert_allclose(aa2, aa, atol=1e-4)
 
+    def test_axis_angle_roundtrip_near_pi(self):
+        """180-degree rotations: the antisymmetric part vanishes, so the
+        log map must fall back to the symmetric-part axis recovery (the
+        sign of the returned axis is ambiguous at exactly pi — assert the
+        ROTATION round-trips, not the axis-angle vector)."""
+        axes = np.asarray([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0],
+                           [1.0, 1.0, 0], [0.3, -0.5, 0.81],
+                           [-1.0, 2.0, 0.5]], np.float32)
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        for angle in (np.pi, np.pi - 1e-4, np.pi - 1e-6):
+            aa = (axes * angle).astype(np.float32)
+            R = rodrigues(jnp.asarray(aa))
+            aa2 = rotmat_to_axis_angle(R)
+            R2 = np.asarray(rodrigues(aa2))
+            np.testing.assert_allclose(R2, np.asarray(R), atol=2e-3,
+                                       err_msg=f"angle={angle}")
+
     def test_rotate_translate(self):
         pts = RNG.randn(2, 5, 3).astype(np.float32)
         R = random_rotmats(1)[0]

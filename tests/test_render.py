@@ -170,6 +170,17 @@ class TestPallasRaster:
 
 
 class TestFaceSorting:
+    def test_pallas_rejects_unaligned_img_h(self):
+        """img_h not a multiple of ROWS_PER_BLOCK would silently leave the
+        bottom rows' output block uninitialised — must be a loud error."""
+        from straps_tpu.render.pallas_raster import rasterize_pallas
+
+        planes = jnp.zeros((1, 128, 4, 3))
+        bounds = jnp.zeros((1, 1, 2), jnp.int32)
+        with pytest.raises(ValueError, match="multiple of 8"):
+            rasterize_pallas(planes, bounds, img_h=100, img_w=128,
+                             interpret=True)
+
     def test_sort_faces_by_ymin(self):
         from straps_tpu.render.raster import sort_faces_by_ymin
         screen, z, faces = make_triangle_scene()

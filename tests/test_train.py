@@ -113,6 +113,33 @@ class TestTrainLoop:
             tracker.history["train_losses"][:2]
 
 
+class TestValTailAndFinalSave:
+    def test_small_val_set_and_final_epoch_checkpoint(self, tmp_path, assets):
+        """A val set smaller than batch_size must still produce finite val
+        metrics (the tail batch is padded to the jit shape by cycling
+        samples), and the FINAL epoch is checkpointed even off the
+        epochs_per_save boundary (a 100-epoch reference-cadence run would
+        otherwise end with its best weights only in the discarded return
+        value)."""
+        import os
+
+        import numpy as np
+
+        cfg = tiny_config(tmp_path)
+        cfg.val_path = write_synthetic_corpus(str(tmp_path / "val_small.npz"),
+                                              n=5, seed=9)
+        cfg.num_epochs = 2
+        cfg.epochs_per_save = 5    # never hits an epoch boundary
+        state, best_params, tracker = train(cfg, assets=assets,
+                                            max_steps_per_epoch=1,
+                                            verbose=False)
+        for m in cfg.save_val_metrics:
+            vals = tracker.history[f"val_{m}"]
+            assert len(vals) == 2 and np.isfinite(vals).all(), (m, vals)
+        # 5 real samples counted, not the padded batch size
+        assert os.path.isdir(f"{cfg.model_save_path}_epoch1")
+
+
 class TestSilhouetteLoss:
     def test_silhouette_task_trains(self, tmp_path, assets):
         cfg = tiny_config(tmp_path)
