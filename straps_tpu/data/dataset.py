@@ -65,6 +65,13 @@ def epoch_batches(dataset: SyntheticTrainingDataset, batch_size: int,
     n = len(dataset)
     order = rng.permutation(n) if shuffle else np.arange(n)
     order = order[host_id::num_hosts]
+    if num_hosts > 1:
+        # Every host must yield the SAME number of (same-shaped) batches:
+        # with n % num_hosts != 0 the interleaved shards differ by one
+        # sample, so one host would launch a sharded step whose collective
+        # the others never match — the DCN job hangs. Truncate to the
+        # common shard length (at most num_hosts-1 samples dropped/epoch).
+        order = order[:n // num_hosts]
     num_full = len(order) // batch_size
     end = num_full * batch_size if drop_last else len(order)
     for start in range(0, end, batch_size):

@@ -79,6 +79,16 @@ def load_npy_batch(paths: List[str], item_shape, threads: int = 8) -> np.ndarray
     batch buffer — multithreaded native path, numpy fallback."""
     n = len(paths)
     elems = int(np.prod(item_shape))
+    # Validate every file's header against item_shape up front (cheap mmap
+    # header reads): the native path only checks element COUNT, so a
+    # transposed same-count file would be silently reinterpreted, and a
+    # mismatched count failed without naming the offending file.
+    for p in paths:
+        shape = np.load(p, mmap_mode="r").shape
+        if tuple(shape) != tuple(item_shape):
+            raise ValueError(f"{p}: shape {tuple(shape)} != expected "
+                             f"{tuple(item_shape)} (all files in a batch "
+                             f"must share one shape)")
     out = np.empty((n,) + tuple(item_shape), dtype=np.float32)
     lib = get_library()
     if lib is not None:

@@ -183,11 +183,24 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
     shapes = np.asarray(dataset["shapes"], np.float32)
     genders = np.asarray([normalise_gender(g) for g in
                           dataset.get("genders", ["n"] * len(poses))])
-    if "silhouettes" in dataset and "joints2D" in dataset:
+    have_sils = "silhouettes" in dataset
+    have_j2d = "joints2D" in dataset
+    if have_sils and have_j2d:
         sils = np.asarray(dataset["silhouettes"], np.float32)
         j2d = np.asarray(dataset["joints2D"], np.float32)[:, :, :2]
-    else:
+    elif not have_sils and not have_j2d:
         sils, j2d = synthesise_proxy_inputs(poses, shapes, assets, cfg.img_wh)
+    else:
+        # One real annotation without the other can't be used: proxy
+        # construction needs silhouette+joints in the SAME image frame,
+        # and a synthetic stand-in lives in the render frame, not the
+        # dataset's — silently re-rendering both would discard the real
+        # annotations and corrupt the reported protocol metric.
+        missing = "joints2D" if have_sils else "silhouettes"
+        raise ValueError(
+            f"dataset ships {'silhouettes' if have_sils else 'joints2D'} "
+            f"but no {missing}: the eval harness needs both annotations "
+            f"(same image frame) or neither (fully synthetic GT).")
 
     img_wh = cfg.img_wh
     # Pred-silhouette camera: `weak_perspective_to_camera_translation` in the
@@ -201,6 +214,19 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
                                  save_per_frame_metrics=save_per_frame)
 
     n = len(poses)
+
+    # GT body-model forward, jitted ONCE with the (gendered) assets as jit
+    # arguments: the eager path dispatched ~50 small ops per batch per
+    # gender, each a round trip on the tunneled backend.
+    @jax.jit
+    def gt_forward(ga, sh, po):
+        o = smpl_forward_axis_angle(ga, sh, po)
+        r = smpl_forward(ga, sh)
+        return o.vertices, o.joints, r.vertices
+
+    gender_assets_dev = {g: jax.device_put(ga)
+                         for g, ga in gender_assets.items()}
+
     # Pad to full batches with repeats of the last sample (static jit
     # shapes); padded rows are sliced off before tracker aggregation.
     idx_all = np.concatenate([np.arange(n),
@@ -223,13 +249,10 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
         gt_joints = None  # shape derived from the first forward's superset
         gt_reposed_v = np.zeros_like(gt_verts)
         for g in sorted(set(batch_g)):
-            ga = gender_assets.get(g, assets)
-            o = smpl_forward_axis_angle(ga, sh_b, po_b)
-            r = smpl_forward(ga, sh_b)
+            ga = gender_assets_dev.get(g, gender_assets_dev["n"])
             m = batch_g == g
             # One batched pull per gender (CLAUDE.md host<->device rule).
-            v_np, j_np, rv_np = jax.device_get(
-                (o.vertices, o.joints, r.vertices))
+            v_np, j_np, rv_np = jax.device_get(gt_forward(ga, sh_b, po_b))
             if gt_joints is None:
                 gt_joints = np.zeros((batch_size,) + j_np.shape[1:],
                                      np.float32)
@@ -244,9 +267,16 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
         target_dict = {"verts": jnp.asarray(gt_verts),
                        "joints3D": gt_h36mlsp}
         if want_iou:
-            pred_sil, _ = render_silhouette(
-                pred["verts"], jnp.asarray(pred["cam_t"]), K, assets.faces,
-                img_wh, backend="xla")
+            # Chunk the prediction render like the GT path: the XLA raster
+            # keeps ~8 (B, face_chunk, img_wh^2) temporaries live and OOMs
+            # HBM beyond chunk~16 at 256^2 (`gt_render_chunk_size`).
+            rch = gt_render_chunk_size(img_wh)
+            cam_t_dev = jnp.asarray(pred["cam_t"])
+            pred_sil = jnp.concatenate([
+                render_silhouette(pred["verts"][s:s + rch],
+                                  cam_t_dev[s:s + rch], K, assets.faces,
+                                  img_wh, backend="xla")[0]
+                for s in range(0, batch_size, rch)])
             if iou_frame == "image":
                 # Undo the crop per sample and compare at image resolution
                 # (the paper's SSP-3D protocol).
@@ -268,6 +298,9 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
             tuple(metrics), pred_dict, target_dict, img_wh,
             pred_reposed=pred["reposed_verts"],
             target_reposed=jnp.asarray(gt_reposed_v))
+        # ONE host transfer for all per-frame metrics (CLAUDE.md rule;
+        # per-key np.asarray was ~13 round trips per batch).
+        pf = jax.device_get(pf)
         tracker.update_per_batch(
             {k: np.asarray(v)[:valid] for k, v in pf.items()}, valid)
     return tracker.compute_final_metrics()

@@ -16,6 +16,8 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from straps_tpu.geometry.joints import normalise_keypoints
+
 ALL_TASKS = ("verts", "joints2D", "joints3D", "pose_params", "shape_params",
              "silhouette")
 
@@ -70,7 +72,7 @@ def multi_task_loss(log_vars: Dict[str, jnp.ndarray],
         add("verts", _mse(outputs["verts"], labels["verts"]))
 
     if "joints2D" in log_vars:
-        label = (2.0 * labels["joints2D"]) / img_wh - 1.0
+        label = normalise_keypoints(labels["joints2D"], img_wh)
         pred = outputs["joints2D"]
         if "vis" in labels:
             vis = labels["vis"].astype(pred.dtype)[..., None]   # (B, J, 1)

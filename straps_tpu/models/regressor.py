@@ -11,7 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from straps_tpu.models.ief import IEFModule, make_initial_params_estimate
-from straps_tpu.models.resnet import ResNetEncoder, BasicBlock, Bottleneck
+from straps_tpu.models.resnet import (
+    ResNetEncoder, BasicBlock, DEPTH_CONFIGS,
+)
 
 
 class SingleInputRegressor(nn.Module):
@@ -38,14 +40,9 @@ class SingleInputRegressor(nn.Module):
         # torchvision depths exist as encoder constructors on both sides.
         # Here every depth is reachable, with the fc rule generalised by
         # block family.
-        blocks = {18: (BasicBlock, (2, 2, 2, 2)),
-                  34: (BasicBlock, (3, 4, 6, 3)),
-                  50: (Bottleneck, (3, 4, 6, 3)),
-                  101: (Bottleneck, (3, 4, 23, 3)),
-                  152: (Bottleneck, (3, 8, 36, 3))}
-        if self.resnet_layers not in blocks:
+        if self.resnet_layers not in DEPTH_CONFIGS:
             raise ValueError(f"Unsupported resnet_layers={self.resnet_layers}")
-        block, layers = blocks[self.resnet_layers]
+        block, layers = DEPTH_CONFIGS[self.resnet_layers]
         encoder = ResNetEncoder(block=block, layers=layers,
                                 dtype=dtype, name="encoder")
         fc_neurons = (512, 512) if block is BasicBlock else (1024, 1024)

@@ -143,24 +143,36 @@ class ResNetEncoder(nn.Module):
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
+# The one depth -> (block, per-stage layer counts) table (torchvision's;
+# `models/resnet.py:228-338`).  Consumed by the constructors below and by
+# SingleInputRegressor's depth selection.
+DEPTH_CONFIGS = {18: (BasicBlock, (2, 2, 2, 2)),
+                 34: (BasicBlock, (3, 4, 6, 3)),
+                 50: (Bottleneck, (3, 4, 6, 3)),
+                 101: (Bottleneck, (3, 4, 23, 3)),
+                 152: (Bottleneck, (3, 8, 36, 3))}
+
+
 def resnet18() -> ResNetEncoder:
-    return ResNetEncoder(block=BasicBlock, layers=(2, 2, 2, 2))
+    return ResNetEncoder(block=DEPTH_CONFIGS[18][0], layers=DEPTH_CONFIGS[18][1])
 
 
 def resnet34() -> ResNetEncoder:
-    return ResNetEncoder(block=BasicBlock, layers=(3, 4, 6, 3))
+    return ResNetEncoder(block=DEPTH_CONFIGS[34][0], layers=DEPTH_CONFIGS[34][1])
 
 
 def resnet50() -> ResNetEncoder:
-    return ResNetEncoder(block=Bottleneck, layers=(3, 4, 6, 3))
+    return ResNetEncoder(block=DEPTH_CONFIGS[50][0], layers=DEPTH_CONFIGS[50][1])
 
 
 def resnet101() -> ResNetEncoder:
-    return ResNetEncoder(block=Bottleneck, layers=(3, 4, 23, 3))
+    return ResNetEncoder(block=DEPTH_CONFIGS[101][0],
+                         layers=DEPTH_CONFIGS[101][1])
 
 
 def resnet152() -> ResNetEncoder:
-    return ResNetEncoder(block=Bottleneck, layers=(3, 8, 36, 3))
+    return ResNetEncoder(block=DEPTH_CONFIGS[152][0],
+                         layers=DEPTH_CONFIGS[152][1])
 
 
 def resnext50_32x4d() -> ResNetEncoder:

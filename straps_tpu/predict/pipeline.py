@@ -199,7 +199,11 @@ def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True):
         raise FileNotFoundError(f"no images in {cfg.input_dir}")
     names, images = [], []
     for path in image_paths:
-        img = cv2.imread(path)[:, :, ::-1]  # BGR -> RGB
+        img = cv2.imread(path)
+        if img is None:
+            raise IOError(f"cv2 could not read image {path} (corrupt or "
+                          f"unsupported format)")
+        img = img[:, :, ::-1]  # BGR -> RGB
         h, w = img.shape[:2]
         top, left = pad_to_square_params(h, w)
         img = np.pad(img, ((top, top), (left, left), (0, 0)))
@@ -265,12 +269,18 @@ def crop_image_like_proxy(sil: np.ndarray, img: np.ndarray,
         # than returning a frame the camera doesn't live in.
         r0 = r1 = c0 = c1 = 0
     else:
-        r0, r1 = rows[0], rows[-1]      # inclusive, like mask_bounding_box
-        c0, c1 = cols[0], cols[-1]
-    centre_r, centre_c = (r0 + r1) / 2.0, (c0 + c1) / 2.0
-    wh = max(r1 - r0, c1 - c0) * scale_factor
-    top_r, top_c = int(centre_r - wh / 2.0), int(centre_c - wh / 2.0)
-    bot_r, bot_c = int(centre_r + wh / 2.0), int(centre_c + wh / 2.0)
+        r0, r1 = int(rows[0]), int(rows[-1])  # inclusive (mask_bounding_box)
+        c0, c1 = int(cols[0]), int(cols[-1])
+    # float32 arithmetic like the device kernel (`square_bbox_corners`):
+    # f64 truncates corners one pixel differently for near-integral
+    # half-extents, offsetting the vis crop from the proxy's camera frame.
+    f32 = np.float32
+    centre_r = f32(r0 + r1) / f32(2.0)
+    centre_c = f32(c0 + c1) / f32(2.0)
+    wh = f32(max(r1 - r0, c1 - c0)) * f32(scale_factor)
+    half = wh / f32(2.0)
+    top_r, top_c = int(centre_r - half), int(centre_c - half)
+    bot_r, bot_c = int(centre_r + half), int(centre_c + half)
     ch, cw = max(bot_r - top_r, 1), max(bot_c - top_c, 1)
     out = np.zeros((ch, cw, img.shape[2]), img.dtype)
     sr0, sc0 = max(top_r, 0), max(top_c, 0)
@@ -303,7 +313,9 @@ def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarra
                                                        build_vis=save_vis)
     predict = make_predict_fn(model, variables, assets, cfg.img_wh)
     out = predict(proxies)
-    out_np = {k: np.asarray(v) for k, v in out.items()}
+    # ONE host transfer for every output (CLAUDE.md rule: per-key
+    # np.asarray costs a device round trip each on tunneled TPUs).
+    out_np = jax.device_get(out)
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     for i, name in enumerate(names):

@@ -49,6 +49,24 @@ class TestDataset:
         assert all_rows.shape == (32, 72)
         assert len(np.unique(all_rows[:, 0])) == 32
 
+    def test_host_sharding_equal_batch_counts_uneven_n(self, tmp_path):
+        """n % num_hosts != 0 must NOT give hosts different batch counts —
+        the extra sharded step's collective would never be matched by the
+        other hosts and the DCN job hangs. Shards truncate to the common
+        length."""
+        path = write_synthetic_corpus(str(tmp_path / "c.npz"), n=31)
+        ds = SyntheticTrainingDataset(path)
+        for drop_last in (True, False):
+            per_host = []
+            for host in range(2):
+                rng = np.random.RandomState(7)
+                per_host.append([b["pose"].shape
+                                 for b in epoch_batches(
+                                     ds, 8, rng, host_id=host, num_hosts=2,
+                                     drop_last=drop_last)])
+            assert per_host[0] == per_host[1], (drop_last, per_host)
+            assert len(per_host[0]) > 0
+
 
 class TestPredict:
     def _write_cached_proxies(self, d, n=2):
@@ -391,6 +409,20 @@ class TestImageFrameIoU:
             sil[r0:r1 + 1, c0:c1 + 1] = 1.0   # bbox rows/cols inclusive
             assert silhouette_crop_box(sil) == device_box(r0, r1, c0, c1), \
                 (r0, r1, c0, c1)
+
+    def test_partial_gt_annotations_rejected(self):
+        """Silhouettes without joints2D (or vice versa) must error loudly:
+        re-rendering both from SMPL params would silently discard the real
+        annotations and corrupt the reported protocol metric."""
+        rng = np.random.RandomState(2)
+        dataset = {
+            "poses": (rng.randn(2, 72) * 0.2).astype(np.float32),
+            "shapes": (rng.randn(2, 10) * 0.5).astype(np.float32),
+            "silhouettes": np.ones((2, 64, 64), np.float32),
+        }
+        with pytest.raises(ValueError, match="no joints2D"):
+            run_evaluation(dataset, PredictConfig(img_wh=64),
+                           metrics=("pves",), batch_size=2)
 
     def test_image_frame_iou_end_to_end(self, tmp_path):
         rng = np.random.RandomState(1)
