@@ -71,10 +71,11 @@ def random_occlude(key, seg: jnp.ndarray, occlude_probability: float = 0.5,
     """
     B, H, W = seg.shape
     kc, kp = jax.random.split(key)
-    centre = H / 2.0
-    half_span = 0.3 * H / 2.0
-    cxy = jax.random.uniform(kc, (B, 2), minval=centre - half_span,
-                             maxval=centre + half_span)
+    # Per-axis centre ranges (rows from H, cols from W): deriving both
+    # from H puts the box off-subject on non-square maps.
+    lo = jnp.asarray([H / 2.0 - 0.3 * H / 2.0, W / 2.0 - 0.3 * W / 2.0])
+    hi = jnp.asarray([H / 2.0 + 0.3 * H / 2.0, W / 2.0 + 0.3 * W / 2.0])
+    cxy = jax.random.uniform(kc, (B, 2), minval=lo, maxval=hi)
     occlude = jax.random.uniform(kp, (B,)) < occlude_probability
     half = occlude_box_dim / 2.0
     r0 = (cxy[:, 0] - half).astype(jnp.int32)

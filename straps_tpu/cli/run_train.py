@@ -39,8 +39,8 @@ def main(argv=None):
     from straps_tpu.utils.profiling import trace
     with trace(args.profile_dir):
         state, best_params, tracker = train(cfg)
-    print("Training completed. Best val metrics:",
-          {m: tracker.history[f'val_{m}'][-1] for m in cfg.save_val_metrics})
+    print(f"Training completed. Best val metrics (epoch "
+          f"{tracker.best_epoch}):", tracker.best_epoch_val_metrics)
 
 
 if __name__ == "__main__":

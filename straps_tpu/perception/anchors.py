@@ -34,11 +34,23 @@ def grid_anchors(feat_h: int, feat_w: int, stride: int, size: float,
 
 def fpn_anchors(image_size: int, strides: Sequence[int] = (4, 8, 16, 32, 64),
                 sizes: Sequence[float] = (32, 64, 128, 256, 512),
-                aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
-                ) -> List[np.ndarray]:
-    """Per-level anchor arrays for a square image."""
+                aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0),
+                feat_sizes: Sequence = None) -> List[np.ndarray]:
+    """Per-level anchor arrays for a square image.
+
+    Pass `feat_sizes` ((h, w) per level) to size the grids from the ACTUAL
+    feature maps — detectron2's DefaultAnchorGenerator does this, and it
+    matters wherever ceil-of-SAME-convs diverges from floor division: at
+    the production 800² test size P6 is a 13x13 stride-2 maxpool of the
+    25x25 P5, not 800//64 = 12 — a 12x12 grid would decode every
+    large-object proposal against the wrong anchor (and the top-k indices
+    past 432 would clamp silently).  The floor-division fallback is only
+    correct when every level divides exactly (power-of-two sizes)."""
     out = []
-    for stride, size in zip(strides, sizes):
-        fh = fw = image_size // stride
+    for i, (stride, size) in enumerate(zip(strides, sizes)):
+        if feat_sizes is not None:
+            fh, fw = int(feat_sizes[i][0]), int(feat_sizes[i][1])
+        else:
+            fh = fw = image_size // stride
         out.append(grid_anchors(fh, fw, stride, size, aspect_ratios))
     return out

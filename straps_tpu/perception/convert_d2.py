@@ -149,11 +149,11 @@ def _map_densepose_head(sub):
     return head + (sub[0],)
 
 
-def convert_d2_state(d2_state: Dict[str, np.ndarray],
-                     arch: str = "keypoint") -> dict:
+def convert_d2_state(d2_state: Dict[str, np.ndarray]) -> dict:
     """Convert a flat detectron2 state dict to flax variables for
-    KeypointRCNN / PointRendRCNN / DensePoseRCNN (`arch` selects the head
-    naming)."""
+    KeypointRCNN / PointRendRCNN / DensePoseRCNN.  The mapping is purely
+    name-driven — one table covers all three architectures' heads, so no
+    architecture selector is needed."""
     params: dict = {}
     batch_stats: dict = {}
     trunk = ("trunk",)
@@ -197,7 +197,7 @@ def convert_d2_state(d2_state: Dict[str, np.ndarray],
     return {"params": params, "batch_stats": batch_stats}
 
 
-def load_d2_pkl(path: str, arch: str = "keypoint") -> dict:
+def load_d2_pkl(path: str) -> dict:
     """Load a detectron2 pkl checkpoint ({'model': {name: array}}) and
     convert to flax variables."""
     with open(path, "rb") as f:
@@ -205,4 +205,4 @@ def load_d2_pkl(path: str, arch: str = "keypoint") -> dict:
     state = ckpt.get("model", ckpt)
     state = {k: np.asarray(v) for k, v in state.items()
              if isinstance(v, np.ndarray) or hasattr(v, "shape")}
-    return convert_d2_state(state, arch=arch)
+    return convert_d2_state(state)

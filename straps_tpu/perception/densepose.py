@@ -108,8 +108,13 @@ class NonLocalBlock2D(nn.Module):
         q = theta.reshape(R, H * W, self.inter_channels)
         k = phi.reshape(R, -1, self.inter_channels)
         v = g.reshape(R, -1, self.inter_channels)
-        attn = jax.nn.softmax(jnp.einsum("rqc,rkc->rqk", q, k), axis=-1)
-        y = jnp.einsum("rqk,rkc->rqc", attn, v).reshape(
+        # precision="highest": converted-checkpoint parity path — default
+        # TPU matmul precision is bf16-ish (CLAUDE.md rodrigues bug class).
+        attn = jax.nn.softmax(
+            jnp.einsum("rqc,rkc->rqk", q, k,
+                       precision=jax.lax.Precision.HIGHEST), axis=-1)
+        y = jnp.einsum("rqk,rkc->rqc", attn, v,
+                       precision=jax.lax.Precision.HIGHEST).reshape(
             R, H, W, self.inter_channels)
         # Reference zero-inits the output GroupNorm's scale AND bias
         # (densepose_head.py:201-202) so the block starts as identity.

@@ -73,7 +73,9 @@ def _resize_for_test(image_rgb: np.ndarray, test_size) -> np.ndarray:
     INPUT.MIN_SIZE_TEST (800) before the network — the reference feeds a
     square image, so this is a plain square resize (bilinear; d2 uses PIL
     bilinear, cv2 INTER_LINEAR is the close host-side equivalent)."""
-    if not test_size or image_rgb.shape[0] == test_size:
+    if not test_size or image_rgb.shape[:2] == (test_size, test_size):
+        # Both dims must match: an 800-tall non-square image fed through
+        # unresized would misalign anchors/clipping on the width axis.
         return image_rgb
     import cv2
     return cv2.resize(np.asarray(image_rgb), (test_size, test_size),

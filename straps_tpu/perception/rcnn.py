@@ -78,7 +78,10 @@ class DetectionTrunk(nn.Module):
                             name="backbone")(image[None])
         feats = [f[0] for f in feats]                     # drop batch dim
         logits, deltas = RPNHead(name="rpn_head")(feats)
-        anchors = fpn_anchors(img_size, FPN_STRIDES)
+        # Grids sized from the REAL feature maps: at 800² P6 is 13x13
+        # (maxpool of the 25x25 P5), not 800//64=12 (`fpn_anchors`).
+        anchors = fpn_anchors(img_size, FPN_STRIDES,
+                              feat_sizes=[f.shape[:2] for f in feats])
         proposals, p_scores, p_valid = generate_proposals(
             logits, deltas, anchors, img_size,
             post_nms_topk=self.post_nms_topk)

@@ -54,6 +54,13 @@ def generate_proposals(logits: List[jnp.ndarray], deltas: List[jnp.ndarray],
                                              anchors_per_level)):
         A = lg.shape[-1]
         scores = lg.reshape(-1)                          # (H*W*A,)
+        # Trace-time guard: an anchor table sized by floor division while
+        # the feature map came from ceil-of-SAME convs (e.g. P6 at 800²)
+        # would decode every proposal against the wrong anchor, silently.
+        assert scores.shape[0] == anch.shape[0], (
+            f"level {lvl}: {scores.shape[0]} RPN predictions vs "
+            f"{anch.shape[0]} anchors — anchor grid does not match the "
+            f"feature map (pass feat_sizes to fpn_anchors)")
         d = dl.reshape(-1, 4)
         k = min(pre_nms_topk, scores.shape[0])
         top_scores, top_idx = jax.lax.top_k(scores, k)

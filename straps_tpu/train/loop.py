@@ -171,4 +171,9 @@ def train(cfg: TrainConfig, assets=None,
                 best_epoch_val_metrics={k: float(v) for k, v in
                                         best_epoch_val_metrics.items()})
 
+    # Best-epoch record for callers (the CLI report): history[-1] is the
+    # LAST epoch's value, not the best epoch's.
+    tracker.best_epoch = best_epoch
+    tracker.best_epoch_val_metrics = {k: float(v) for k, v in
+                                      best_epoch_val_metrics.items()}
     return state, best_params, tracker

@@ -41,15 +41,21 @@ def restore_checkpoint(path: str, state_template) -> Dict[str, Any]:
     dataclass and the optax opt-state named tuples)."""
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    # First pass without a template to learn the checkpoint's own keys
-    # (best_epoch_val_metrics varies with save_val_metrics), then a typed
-    # restore into the live TrainState structure.
-    restored_raw = ckptr.restore(path)
+    # The checkpoint's own metric keys (best_epoch_val_metrics varies with
+    # save_val_metrics) come from the cheap METADATA read — a full untyped
+    # restore just to learn a handful of dict keys would read every weight
+    # tensor from disk twice and hold both trees in host memory.
+    try:
+        meta = ckptr.metadata(path)
+        metric_keys = list(meta["best_epoch_val_metrics"].keys())
+    except Exception:
+        metric_keys = list(ckptr.restore(path)["best_epoch_val_metrics"]
+                           .keys())
     restored = ckptr.restore(path, item={
         "state": _to_numpy(state_template),
         "epoch": np.asarray(0),
         "best_epoch": np.asarray(0),
         "best_params": _to_numpy(state_template.params),
-        "best_epoch_val_metrics": restored_raw["best_epoch_val_metrics"],
+        "best_epoch_val_metrics": {k: np.asarray(0.0) for k in metric_keys},
     })
     return restored

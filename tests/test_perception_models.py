@@ -32,6 +32,18 @@ class TestKeypointRCNN:
         assert out["valid"].dtype == bool
         assert np.all(np.isfinite(np.asarray(out["boxes"])))
 
+    def test_anchor_grids_match_features_at_nonpow2_size(self):
+        """At sizes where ceil-of-SAME-convs diverges from floor division
+        (104²: P4 is 7 not 104//16=6, P6 is 2 not 104//64=1; the production
+        800² has the same property at P6: 13 vs 12) the anchor grids must
+        be sized from the REAL feature maps.  generate_proposals asserts
+        per-level anchor/prediction count equality at trace time, so a
+        successful init proves alignment."""
+        model = KeypointRCNN(post_nms_topk=TOPK, max_detections=DETS)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((104, 104, 3)))
+        assert "trunk" in variables["params"]
+
     def test_keypoints_inside_boxes(self, kp_model_and_vars):
         model, variables = kp_model_and_vars
         img = jnp.asarray(np.random.RandomState(1)

@@ -328,7 +328,7 @@ def dp_setup():
     twin = D2DensePoseRCNNTwin(depth=101)
     randomize_bn_stats(twin, seed=8)
     twin.eval()
-    variables = convert_d2_state(twin_state_to_d2(twin), arch="densepose")
+    variables = convert_d2_state(twin_state_to_d2(twin))
     image = np.random.RandomState(9).uniform(
         -120, 130, (IMG, IMG, 3)).astype(np.float32)
     with torch.no_grad():
@@ -458,10 +458,15 @@ class Test800ScaleParity:
         variables = convert_d2_state(state)
 
         strides = (4, 8, 16, 32, 64)
+        # REAL feature-map sizes at 800²: P2..P5 divide exactly, but P6 is
+        # a stride-2 maxpool of the 25x25 P5 -> 13x13, NOT 800//64 = 12.
+        # (The pre-fix test built 12x12 P6 features, mirror-masking the
+        # anchor-grid misalignment on both sides.)
+        feat_hw = (200, 100, 50, 25, 13)
         rng = np.random.RandomState(11)
         feats_t = [torch.from_numpy(
-            (rng.randn(1, 256, IMG800 // s, IMG800 // s) * 0.5)
-            .astype(np.float32)) for s in strides]
+            (rng.randn(1, 256, hw, hw) * 0.5).astype(np.float32))
+            for hw in feat_hw]
         with torch.no_grad():
             logits_t, deltas_t = twin(feats_t)
             props_t, scores_t = d2_proposals(logits_t, deltas_t, IMG800,
@@ -474,9 +479,12 @@ class Test800ScaleParity:
             np.testing.assert_allclose(np.asarray(lg), _to_nhwc(tl)[0],
                                        atol=2e-4, rtol=1e-3)
 
-        anchors = fpn_anchors(IMG800, strides)
-        # Pre-NMS saturation really happens at this size on every level.
+        anchors = fpn_anchors(IMG800, strides,
+                              feat_sizes=[(hw, hw) for hw in feat_hw])
+        # Pre-NMS saturation really happens at this size on every level;
+        # the P6 grid matches the true maxpool size.
         assert all(a.shape[0] > 1000 for a in anchors[:4])
+        assert anchors[4].shape[0] == 13 * 13 * 3
         props_j, sc_j, valid_j = generate_proposals(
             logits_j, deltas_j, anchors, IMG800, post_nms_topk=TOPK * 8)
         pj = np.asarray(props_j)[np.asarray(valid_j)]

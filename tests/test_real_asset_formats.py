@@ -193,8 +193,8 @@ class TestDetectron2PklFormat:
                          "__author__": "Detectron2 Model Zoo",
                          "matching_heuristics": True}, f, protocol=2)
 
-        from_file = load_d2_pkl(str(path), arch="keypoint")
-        in_memory = convert_d2_state(state, arch="keypoint")
+        from_file = load_d2_pkl(str(path))
+        in_memory = convert_d2_state(state)
         flat_f = jax.tree_util.tree_leaves_with_path(from_file)
         flat_m = jax.tree_util.tree_leaves_with_path(in_memory)
         assert len(flat_f) == len(flat_m) > 50

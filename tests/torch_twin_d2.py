@@ -310,11 +310,16 @@ def d2_cell_anchors(size, aspect_ratios=(0.5, 1.0, 2.0)):
 
 
 def d2_anchors(img_size, strides=(4, 8, 16, 32, 64),
-               sizes=(32, 64, 128, 256, 512)):
-    """DefaultAnchorGenerator with offset 0 on a square image."""
+               sizes=(32, 64, 128, 256, 512), feat_sizes=None):
+    """DefaultAnchorGenerator with offset 0 on a square image.  Real d2
+    sizes grids from the feature maps; pass feat_sizes where ceil-of-SAME
+    convs diverges from floor division (P6 at 800² is 13, not 12)."""
     all_levels = []
-    for stride, size in zip(strides, sizes):
-        fh = fw = img_size // stride
+    for i, (stride, size) in enumerate(zip(strides, sizes)):
+        if feat_sizes is not None:
+            fh, fw = feat_sizes[i]
+        else:
+            fh = fw = img_size // stride
         base = d2_cell_anchors(size)
         sx = torch.arange(fw, dtype=torch.float32) * stride
         sy = torch.arange(fh, dtype=torch.float32) * stride
@@ -352,8 +357,11 @@ def d2_apply_deltas(deltas, boxes, weights=(1.0, 1.0, 1.0, 1.0),
 def d2_proposals(logits, deltas, img_size, pre_nms_topk=1000,
                  post_nms_topk=1000, nms_thresh=0.7):
     """find_top_rpn_proposals: per-level topk -> decode -> clip ->
-    level-batched NMS -> global topk by score."""
-    anchors = d2_anchors(img_size)
+    level-batched NMS -> global topk by score.  Anchor grids sized from
+    the logits' own spatial dims (real d2 derives them from the features)."""
+    anchors = d2_anchors(img_size,
+                         feat_sizes=[(lg.shape[2], lg.shape[3])
+                                     for lg in logits])
     boxes_all, scores_all, levels_all = [], [], []
     for lvl, (lg, dl, anch) in enumerate(zip(logits, deltas, anchors)):
         A = lg.shape[1]
