@@ -158,17 +158,33 @@ def clip_boxes(boxes: jnp.ndarray, img_h: int, img_w: int) -> jnp.ndarray:
 
 
 def bilinear_sample(features: jnp.ndarray, x: jnp.ndarray,
-                    y: jnp.ndarray) -> jnp.ndarray:
+                    y: jnp.ndarray, mode: str = "zeros") -> jnp.ndarray:
     """Bilinear sampling of an (H, W, C) feature map at continuous
     (x, y) pixel coordinates (align-corners=False convention: coordinate x
     samples the continuous field whose texel centres are at integers).
 
+    Two out-of-bounds semantics, matching the two torch ops this replaces:
+
+    - ``mode="zeros"``: taps outside the map contribute zero — torch
+      `grid_sample(padding_mode="zeros")`, the PointRend point-sampling /
+      DensePose point-interp convention.
+    - ``mode="border"``: torchvision/detectron2 ROIAlign's
+      `bilinear_interpolate`: samples more than 1px outside the map are
+      zero, samples in the 1px border band CLAMP to the edge pixel.  An
+      edge-clipped detection's outermost sample rows hit this band on
+      every real image; zero-padding there under-weights them by up to
+      the full edge value.
+
     Args:
       x, y: (...,) coordinates.
     Returns:
-      (..., C) sampled features (zero outside).
+      (..., C) sampled features.
     """
     H, W, _ = features.shape
+    if mode == "border":
+        valid = ((x >= -1.0) & (x <= W) & (y >= -1.0) & (y <= H))
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
@@ -177,24 +193,27 @@ def bilinear_sample(features: jnp.ndarray, x: jnp.ndarray,
     y0i = y0.astype(jnp.int32)
 
     def tap(xi, yi):
-        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         xc = jnp.clip(xi, 0, W - 1)
         yc = jnp.clip(yi, 0, H - 1)
-        return features[yc, xc] * valid[..., None]
+        return features[yc, xc] * ok[..., None]
 
     w00 = ((1 - fx) * (1 - fy))[..., None]
     w01 = (fx * (1 - fy))[..., None]
     w10 = ((1 - fx) * fy)[..., None]
     w11 = (fx * fy)[..., None]
-    return (tap(x0i, y0i) * w00 + tap(x0i + 1, y0i) * w01
-            + tap(x0i, y0i + 1) * w10 + tap(x0i + 1, y0i + 1) * w11)
+    out = (tap(x0i, y0i) * w00 + tap(x0i + 1, y0i) * w01
+           + tap(x0i, y0i + 1) * w10 + tap(x0i + 1, y0i + 1) * w11)
+    if mode == "border":
+        out = out * valid[..., None]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
-                                             "aligned"))
+                                             "aligned", "mode"))
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
               output_size: int, sampling_ratio: int = 2,
-              aligned: bool = True) -> jnp.ndarray:
+              aligned: bool = True, mode: str = "border") -> jnp.ndarray:
     """ROIAlign. `aligned=True` is detectron2's ROIAlignV2 (half-pixel
     shift); `aligned=False` is the legacy "ROIAlign" pooler type the
     DensePose configs select (`DensePose/configs/Base-DensePose-RCNN-FPN.yaml`
@@ -208,8 +227,14 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
     """
     boxes_f = boxes * spatial_scale - (0.5 if aligned else 0.0)
     x1, y1, x2, y2 = (boxes_f[:, i] for i in range(4))
-    rw = jnp.maximum(x2 - x1, 1e-6)
-    rh = jnp.maximum(y2 - y1, 1e-6)
+    # Legacy (aligned=False) clamps the roi to >= 1px (torchvision
+    # `max(roi_width, 1.)` backward compatibility); V2 has no minimum.
+    # mode="zeros" + sampling_ratio=1 reproduces detectron2's regular-grid
+    # `point_sample` (grid_sample zero padding) — the PointRend coarse
+    # feature path; mode="border" is real ROIAlign.
+    min_wh = (1e-6 if aligned else 1.0) if mode == "border" else 1e-6
+    rw = jnp.maximum(x2 - x1, min_wh)
+    rh = jnp.maximum(y2 - y1, min_wh)
     bin_w = rw / output_size
     bin_h = rh / output_size
     s = sampling_ratio
@@ -222,7 +247,7 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
     def pool_one(f_xs, f_ys):
         xx = jnp.tile(f_xs[None, :], (output_size * s, 1))
         yy = jnp.tile(f_ys[:, None], (1, output_size * s))
-        samples = bilinear_sample(features, xx, yy)  # (O*s, O*s, C)
+        samples = bilinear_sample(features, xx, yy, mode=mode)
         C = samples.shape[-1]
         samples = samples.reshape(output_size, s, output_size, s, C)
         return samples.mean(axis=(1, 3))
@@ -290,12 +315,21 @@ def multilevel_roi_align(features_per_level, boxes: jnp.ndarray,
     shift = 0.5 if aligned else 0.0
     boxes_f = boxes * scale[:, None] - shift
     x1, y1, x2, y2 = (boxes_f[:, i] for i in range(4))
-    bin_w = jnp.maximum(x2 - x1, 1e-6) / output_size
-    bin_h = jnp.maximum(y2 - y1, 1e-6) / output_size
+    min_wh = 1e-6 if aligned else 1.0   # legacy max(roi_width, 1.) clamp
+    bin_w = jnp.maximum(x2 - x1, min_wh) / output_size
+    bin_h = jnp.maximum(y2 - y1, min_wh) / output_size
     s = sampling_ratio
     grid = (jnp.arange(output_size * s) + 0.5) / s               # bin units
     xs = x1[:, None] + bin_w[:, None] * grid[None, :]            # (R, Q)
     ys = y1[:, None] + bin_h[:, None] * grid[None, :]
+    # torchvision border semantics (see `bilinear_sample(mode="border")`):
+    # samples >1px outside the level are zero, the 1px band clamps.
+    Wbf = Wb.astype(jnp.float32)[:, None]
+    Hbf = Hb.astype(jnp.float32)[:, None]
+    valid_x = ((xs >= -1.0) & (xs <= Wbf))[:, None, :]           # (R, 1, Q)
+    valid_y = ((ys >= -1.0) & (ys <= Hbf))[:, :, None]           # (R, Q, 1)
+    xs = jnp.clip(xs, 0.0, Wbf - 1.0)
+    ys = jnp.clip(ys, 0.0, Hbf - 1.0)
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
     fx = (xs - x0)[:, None, :]                                   # (R, 1, Q)
@@ -307,35 +341,42 @@ def multilevel_roi_align(features_per_level, boxes: jnp.ndarray,
     off3 = off[:, None, None]
 
     def tap(xi, yi):
-        valid = (xi >= 0) & (xi < Wb3) & (yi >= 0) & (yi < Hb3)
+        ok = (xi >= 0) & (xi < Wb3) & (yi >= 0) & (yi < Hb3)
         xc = jnp.clip(xi, 0, Wb3 - 1)
         yc = jnp.clip(yi, 0, Hb3 - 1)
         samples = flat[off3 + yc * Wb3 + xc]                     # (R, Q, Q, C)
-        return samples * valid[..., None]
+        return samples * ok[..., None]
 
     out = (tap(x0i, y0i) * ((1 - fx) * (1 - fy))[..., None]
            + tap(x0i + 1, y0i) * (fx * (1 - fy))[..., None]
            + tap(x0i, y0i + 1) * ((1 - fx) * fy)[..., None]
            + tap(x0i + 1, y0i + 1) * (fx * fy)[..., None])
+    out = out * (valid_x & valid_y)[..., None]
     R = boxes.shape[0]
     out = out.reshape(R, output_size, s, output_size, s, C)
     return out.mean(axis=(2, 4))
 
 
 def bilinear_axis_rows(coord: jnp.ndarray, extent: jnp.ndarray, length: int,
-                  offset=None) -> jnp.ndarray:
+                       offset=None, mode: str = "zeros") -> jnp.ndarray:
     """Per-sample bilinear tap weights along one axis as a dense row.
 
     Args:
       coord: (R, Q) continuous sample coordinates on this axis.
-      extent: (R,) valid size of each box's level on this axis (taps at
-        >= extent or < 0 contribute zero, matching the gather path's
-        validity mask).
+      extent: (R,) valid size of each box's level on this axis.
       length: row length (packed axis size).
       offset: optional (R,) packed-axis offset of each box's level.
+      mode: out-of-bounds semantics like `bilinear_sample`: "zeros"
+        (grid_sample — mask paste / point sampling) or "border"
+        (torchvision ROIAlign: the 1px band clamps to the edge texel,
+        beyond it weights are zero).
     Returns:
       (R, Q, length) rows with >=0..2 nonzero bilinear weights each.
     """
+    if mode == "border":
+        extf = extent.astype(jnp.float32)[:, None]
+        in_band = (coord >= -1.0) & (coord <= extf)              # (R, Q)
+        coord = jnp.clip(coord, 0.0, extf - 1.0)
     c0 = jnp.floor(coord)
     frac = coord - c0
     c0i = c0.astype(jnp.int32)
@@ -348,8 +389,11 @@ def bilinear_axis_rows(coord: jnp.ndarray, extent: jnp.ndarray, length: int,
         hit = pos[None, None, :] == (base + ci)
         return jnp.where(valid & hit, w, 0.0)
 
-    return (tap(c0i[:, :, None], (1.0 - frac)[:, :, None])
+    rows = (tap(c0i[:, :, None], (1.0 - frac)[:, :, None])
             + tap(c0i[:, :, None] + 1, frac[:, :, None]))
+    if mode == "border":
+        rows = rows * in_band[..., None]
+    return rows
 
 
 def _multilevel_roi_align_mm(features_per_level, boxes, strides,
@@ -391,18 +435,20 @@ def _multilevel_roi_align_mm(features_per_level, boxes, strides,
     shift = 0.5 if aligned else 0.0
     boxes_f = boxes * scale[:, None] - shift
     x1, y1, x2, y2 = (boxes_f[:, i] for i in range(4))
-    bin_w = jnp.maximum(x2 - x1, 1e-6) / output_size
-    bin_h = jnp.maximum(y2 - y1, 1e-6) / output_size
+    min_wh = 1e-6 if aligned else 1.0   # legacy max(roi_width, 1.) clamp
+    bin_w = jnp.maximum(x2 - x1, min_wh) / output_size
+    bin_h = jnp.maximum(y2 - y1, min_wh) / output_size
     s = sampling_ratio
     grid = (jnp.arange(output_size * s) + 0.5) / s               # bin units
     xs = x1[:, None] + bin_w[:, None] * grid[None, :]            # (R, Q)
     ys = y1[:, None] + bin_h[:, None] * grid[None, :]
 
     R, O = boxes.shape[0], output_size
-    # Fold the s-sample-per-bin average into the weight rows: (R, O, axis).
-    ry = bilinear_axis_rows(ys, Hb, Hsum, offset=off_y)
+    # Fold the s-sample-per-bin average into the weight rows: (R, O, axis);
+    # "border" = torchvision ROIAlign out-of-bounds semantics.
+    ry = bilinear_axis_rows(ys, Hb, Hsum, offset=off_y, mode="border")
     ry = ry.reshape(R, O, s, Hsum).sum(axis=2) / s
-    rx = bilinear_axis_rows(xs, Wb, Wmax)
+    rx = bilinear_axis_rows(xs, Wb, Wmax, mode="border")
     rx = rx.reshape(R, O, s, Wmax).sum(axis=2) / s
 
     if packed.dtype == jnp.bfloat16:

@@ -143,8 +143,11 @@ class PointRendRCNN(nn.Module):
             max_detections=self.max_detections,
             num_classes=self.num_classes,
             backbone_dtype=self.backbone_dtype, name="trunk")(image)
+        # detectron2's coarse features are regular-grid point_sample on p2
+        # (grid_sample ZERO padding) — equal to single-sample ROIAlign in
+        # mode="zeros", NOT real-ROIAlign border clamping.
         mask_roi = roi_align(feats[0], boxes, 1.0 / FPN_STRIDES[0], 14,
-                             sampling_ratio=1)
+                             sampling_ratio=1, mode="zeros")
         coarse = CoarseMaskHead(num_classes=self.num_classes,
                                 name="coarse_head")(mask_roi)
         point_head = PointHead(num_classes=self.num_classes,

@@ -110,15 +110,20 @@ class TestRoiAlign:
         out = np.zeros((out_size, out_size, C), np.float32)
 
         def sample(x, y):
+            # torchvision bilinear_interpolate: zero beyond the 1px band,
+            # clamp to the edge texel inside it.
+            if x < -1.0 or x > W or y < -1.0 or y > H:
+                return np.zeros(C, np.float32)
+            x = min(max(x, 0.0), W - 1.0)
+            y = min(max(y, 0.0), H - 1.0)
             x0, y0 = int(np.floor(x)), int(np.floor(y))
             fx, fy = x - x0, y - y0
             val = np.zeros(C, np.float32)
             for dy in (0, 1):
                 for dx in (0, 1):
-                    xi, yi = x0 + dx, y0 + dy
+                    xi, yi = min(x0 + dx, W - 1), min(y0 + dy, H - 1)
                     w = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
-                    if 0 <= xi < W and 0 <= yi < H:
-                        val += w * feat[yi, xi]
+                    val += w * feat[yi, xi]
             return val
 
         for i in range(out_size):
@@ -134,11 +139,15 @@ class TestRoiAlign:
 
     def test_matches_naive(self):
         feat = RNG.randn(16, 16, 3).astype(np.float32)
+        # The last two boxes cross the image border: their outer sample
+        # rows land in the 1px clamp band (real detectron2 semantics).
         boxes = np.asarray([[8.0, 4.0, 40.0, 28.0],
-                            [0.0, 0.0, 64.0, 64.0]], np.float32)
+                            [0.0, 0.0, 64.0, 64.0],
+                            [-6.0, -2.0, 20.0, 30.0],
+                            [40.0, 30.0, 70.0, 68.0]], np.float32)
         got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes),
                                    0.25, 4, sampling_ratio=2))
-        for r in range(2):
+        for r in range(len(boxes)):
             expected = self._naive(feat, boxes[r], 0.25, 4, 2)
             np.testing.assert_allclose(got[r], expected, atol=1e-4)
 

@@ -220,8 +220,10 @@ class TestPointRendParity:
         with torch.no_grad():
             coarse_t = twin.roi_heads.mask_coarse_head(
                 fine_t.view(R, -1, 14, 14))
-        # flax coarse path: single-sample ROIAlign on p2 == the regular grid.
-        mask_roi = roi_align(p2_j, boxes_j, 0.25, 14, sampling_ratio=1)
+        # flax coarse path: single-sample zero-pad ROIAlign on p2 == the
+        # regular-grid point_sample (grid_sample zeros, NOT border clamp).
+        mask_roi = roi_align(p2_j, boxes_j, 0.25, 14, sampling_ratio=1,
+                             mode="zeros")
         np.testing.assert_allclose(
             np.asarray(mask_roi),
             _to_nhwc(fine_t.view(R, -1, 14, 14)), atol=1e-4, rtol=1e-4,
@@ -359,7 +361,10 @@ class TestDensePoseRCNNParity:
 
         _, _, _, tout = dp_setup
         boxes = np.asarray([[4.5, 7.25, 60.0, 90.5],
-                            [10.0, 20.0, 120.0, 126.0]], np.float32)
+                            [10.0, 20.0, 120.0, 126.0],
+                            # narrower than one feature px on its level:
+                            # exercises the legacy max(roi_width, 1.) clamp
+                            [30.0, 40.0, 33.0, 43.5]], np.float32)
         tfeats4 = [f for f in tout["feats"][:4]]
         tpooled = t_mlra(tfeats4, torch.from_numpy(boxes), (4, 8, 16, 32),
                          14, aligned=False)

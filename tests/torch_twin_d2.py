@@ -61,7 +61,15 @@ def tv_roi_align(feat, rois, output_size, spatial_scale, sampling_ratio,
                  aligned=True):
     """ROIAlign on a (1, C, H, W) feature map; rois: (R, 5)
     [batch, x1, y1, x2, y2].  aligned=True is ROIAlignV2 (half-pixel
-    shift); aligned=False the legacy pooler type DensePose configures."""
+    shift); aligned=False the legacy pooler type DensePose configures.
+
+    Implements torchvision's EXACT `bilinear_interpolate` semantics (an
+    earlier grid_sample-based version mirror-deviated together with the
+    JAX side): samples more than 1px outside the map are zero; samples in
+    the 1px border band CLAMP to the edge pixel (grid_sample zero-padding
+    instead blends toward zero across the band); legacy (aligned=False)
+    additionally clamps the roi extent to >= 1px (`max(roi_width, 1.)`
+    backward compatibility — absent in the aligned path)."""
     assert feat.shape[0] == 1
     C, H, W = feat.shape[1:]
     R = rois.shape[0]
@@ -69,21 +77,33 @@ def tv_roi_align(feat, rois, output_size, spatial_scale, sampling_ratio,
     s = sampling_ratio
     grid = (torch.arange(output_size * s, dtype=torch.float32) + 0.5) / s
     shift = 0.5 if aligned else 0.0
+    f = feat[0]
     for r in range(R):
         x1, y1, x2, y2 = (rois[r, 1:] * spatial_scale - shift)
-        bw = (x2 - x1).clamp(min=1e-6) / output_size
-        bh = (y2 - y1).clamp(min=1e-6) / output_size
-        xs = x1 + bw * grid
-        ys = y1 + bh * grid
-        # bilinear with zero padding, pixel centres at integers
-        gx = (2.0 * (xs + 0.5) / W - 1.0)
-        gy = (2.0 * (ys + 0.5) / H - 1.0)
-        gyy, gxx = torch.meshgrid(gy, gx, indexing="ij")
-        g = torch.stack([gxx, gyy], dim=-1)[None]
-        samples = F.grid_sample(feat, g, align_corners=False,
-                                padding_mode="zeros")[0]
-        samples = samples.view(C, output_size, s, output_size, s)
-        out[r] = samples.mean(dim=(2, 4))
+        rw, rh = x2 - x1, y2 - y1
+        if aligned:
+            rw, rh = rw.clamp(min=1e-6), rh.clamp(min=1e-6)
+        else:
+            rw, rh = rw.clamp(min=1.0), rh.clamp(min=1.0)
+        xs = x1 + (rw / output_size) * grid
+        ys = y1 + (rh / output_size) * grid
+        valid_x = (xs >= -1.0) & (xs <= W)
+        valid_y = (ys >= -1.0) & (ys <= H)
+        xc = xs.clamp(0.0, W - 1.0)
+        yc = ys.clamp(0.0, H - 1.0)
+        x0 = xc.floor().long()
+        y0 = yc.floor().long()
+        x1i = (x0 + 1).clamp(max=W - 1)
+        y1i = (y0 + 1).clamp(max=H - 1)
+        fx = (xc - x0)[None, None, :]
+        fy = (yc - y0)[None, :, None]
+        v = (f[:, y0][:, :, x0] * (1 - fy) * (1 - fx)
+             + f[:, y0][:, :, x1i] * (1 - fy) * fx
+             + f[:, y1i][:, :, x0] * fy * (1 - fx)
+             + f[:, y1i][:, :, x1i] * fy * fx)
+        v = v * (valid_y[None, :, None] & valid_x[None, None, :])
+        v = v.view(C, output_size, s, output_size, s)
+        out[r] = v.mean(dim=(2, 4))
     return out
 
 
@@ -244,10 +264,11 @@ class KeypointHead(nn.Module):
             setattr(self, f"conv_fcn{i + 1}", nn.Conv2d(cin, conv_dim, 3,
                                                         padding=1))
             cin = conv_dim
+        self.num_convs = num_convs
         self.score_lowres = nn.ConvTranspose2d(conv_dim, num_kp, 4, 2, 1)
 
     def forward(self, x):
-        for i in range(8):
+        for i in range(self.num_convs):
             x = F.relu(getattr(self, f"conv_fcn{i + 1}")(x))
         x = self.score_lowres(x)
         return F.interpolate(x, scale_factor=2, mode="bilinear",
@@ -286,12 +307,13 @@ class PointHead(nn.Module):
         for i in range(num_fc):
             setattr(self, f"fc{i + 1}", nn.Conv1d(cin, fc_dim, 1))
             cin = fc_dim + num_classes
+        self.num_fc = num_fc
         self.predictor = nn.Conv1d(cin, num_classes, 1)
 
     def forward(self, fine, coarse):
         # fine: (R, Cf, P); coarse: (R, K, P)
         x = torch.cat([fine, coarse], dim=1)
-        for i in range(3):
+        for i in range(self.num_fc):
             x = F.relu(getattr(self, f"fc{i + 1}")(x))
             x = torch.cat([x, coarse], dim=1)
         return self.predictor(x)
@@ -561,8 +583,12 @@ class D2PointRendRCNNTwin(nn.Module):
                                          score_thresh=score_thresh)
         if boxes.shape[0] == 0:
             return {"feats": feats, "boxes": boxes, "scores": scores,
-                    "coarse": torch.zeros(0, 80, 7, 7),
-                    "refined": torch.zeros(0, 80, 224, 224),
+                    "coarse": torch.zeros(
+                        0, self.roi_heads.mask_coarse_head.num_classes,
+                        7, 7),
+                    "refined": torch.zeros(
+                        0, self.roi_heads.mask_coarse_head.num_classes,
+                        7 * 2 ** 5, 7 * 2 ** 5),
                     "masks": torch.zeros(0, img_size, img_size)}
         # Coarse mask: point-sample p2 at a regular 14x14 grid
         # (roi_heads.py:134-150, IN_FEATURES=['p2']).
@@ -767,14 +793,20 @@ class D2DensePoseRCNNTwin(nn.Module):
 
 
 def randomize_bn_stats(model, seed=0):
-    """Make FrozenBN affine + running stats non-trivial so BN math (eps
-    placement, mean/var wiring) is actually exercised by parity tests."""
+    """Make FrozenBN affine + running stats AND GroupNorm affines
+    non-trivial so the norm math (eps placement, mean/var wiring) and the
+    GN scale/bias conversion routing are actually exercised by parity
+    tests — torch's default GN init (weight=1, bias=0) equals flax's, so
+    a silently-dropped GN key would otherwise be invisible."""
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for m in model.modules():
             if isinstance(m, nn.BatchNorm2d):
                 m.running_mean.uniform_(-0.3, 0.3, generator=g)
                 m.running_var.uniform_(0.7, 1.4, generator=g)
+                m.weight.uniform_(0.7, 1.3, generator=g)
+                m.bias.uniform_(-0.2, 0.2, generator=g)
+            elif isinstance(m, nn.GroupNorm):
                 m.weight.uniform_(0.7, 1.3, generator=g)
                 m.bias.uniform_(-0.2, 0.2, generator=g)
 
