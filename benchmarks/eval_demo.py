@@ -50,7 +50,7 @@ def main():
                                         cfg.img_wh)
     proxies, _ = batch_silhouettes_joints_to_proxies(
         jnp.asarray(sils), jnp.asarray(j2d), cfg.img_wh)
-    model, variables = load_regressor_variables(cfg, assets)
+    model, variables, _ = load_regressor_variables(cfg, assets)
     pred = make_predict_fn(model, variables, assets, cfg.img_wh)(proxies)
     os.makedirs(out_dir, exist_ok=True)
     import matplotlib

@@ -27,10 +27,13 @@ def main(argv=None):
     parser.add_argument("--smpl-dir", default=None)
     parser.add_argument("--save-per-frame", default=None,
                         help="dir for per-frame metric npy dumps")
-    parser.add_argument("--heatmap-mode", default="clean",
-                        choices=["clean", "legacy"],
-                        help="'legacy' = reference-exact grid, for "
-                             "converted reference checkpoints")
+    parser.add_argument("--heatmap-mode", default="auto",
+                        choices=["auto", "clean", "legacy"],
+                        help="proxy heatmap distribution; 'auto' (default) "
+                             "resolves from the checkpoint (reference .tar "
+                             "-> 'legacy' grid, repo checkpoints -> their "
+                             "recorded training mode); explicit values "
+                             "override with a mismatch warning")
     parser.add_argument("--iou-frame", default="crop",
                         choices=["crop", "image"],
                         help="silhouette-IoU comparison frame: 'crop' (the "

@@ -31,10 +31,13 @@ def main(argv=None):
     parser.add_argument("--allow-random-detectors", action="store_true",
                         help="run detector front-end with RANDOM weights "
                              "(garbage proxies — smoke/throughput runs only)")
-    parser.add_argument("--heatmap-mode", default="clean",
-                        choices=["clean", "legacy"],
-                        help="'legacy' = reference-exact grid, for "
-                             "converted reference checkpoints")
+    parser.add_argument("--heatmap-mode", default="auto",
+                        choices=["auto", "clean", "legacy"],
+                        help="proxy heatmap distribution; 'auto' (default) "
+                             "resolves from the checkpoint (reference .tar "
+                             "-> 'legacy' grid, repo checkpoints -> their "
+                             "recorded training mode); explicit values "
+                             "override with a mismatch warning")
     parser.add_argument("--no-vis", action="store_true",
                         help="skip all visualisation outputs (npy "
                              "predictions + cached proxies only — the "

@@ -133,7 +133,14 @@ class PredictConfig:
     out_dir: str = "predict_out"
     img_wh: int = 256
     smpl_dir: Optional[str] = None
-    heatmap_mode: str = "clean"        # see TrainConfig.heatmap_mode
+    # 'auto' (default) resolves from the checkpoint: reference `.tar`
+    # checkpoints (`run_predict.py:15-16`) were trained on legacy-grid
+    # heatmaps (`utils/label_conversions.py:90-127`) so they get 'legacy';
+    # repo orbax checkpoints carry their training mode in metadata; no
+    # checkpoint -> 'clean'.  An explicit 'clean'/'legacy' always wins but
+    # warns when it contradicts what the checkpoint was trained on
+    # (border-joint channels differ by up to 1.0 between modes).
+    heatmap_mode: str = "auto"         # 'auto' | 'clean' | 'legacy'
     model: ModelConfig = field(default_factory=ModelConfig)
 
 

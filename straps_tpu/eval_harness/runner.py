@@ -172,7 +172,7 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
     gender_assets = dict(gender_assets)
     gender_assets.setdefault("n", assets)
 
-    model, variables = load_regressor_variables(cfg, assets)
+    model, variables, heatmap_mode = load_regressor_variables(cfg, assets)
     # Optional chip fan-out: batch sharded over the mesh's data axis, like
     # the train step (batch_size must divide by the mesh size).
     if mesh is not None:
@@ -236,7 +236,7 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
         valid = min(batch_size, n - start)
         proxies, _ = batch_silhouettes_joints_to_proxies(
             jnp.asarray(sils[idx]), jnp.asarray(j2d[idx]), img_wh,
-            heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
+            heatmap_mode=heatmap_mode)
         pred = predict(proxies)
 
         # Ground truth through the per-sample gendered body model: run the

@@ -103,12 +103,49 @@ def save_proxies(proxy_dir: str, names, sils, joints) -> None:
                 np.asarray(j, np.float32))
 
 
+def resolve_heatmap_mode(requested: str, trained_mode, source: str) -> str:
+    """Resolve the proxy heatmap distribution to build inputs with.
+
+    `trained_mode` is what the checkpoint records it was trained on (None =
+    unknown).  'auto' takes the checkpoint's mode (falling back to 'clean');
+    an explicit 'clean'/'legacy' always wins but warns when it contradicts
+    the checkpoint — border-joint heatmap channels differ by up to 1.0
+    between the modes, silently degrading the regressor
+    (`utils/label_conversions.py:90-127` is the legacy grid the released
+    reference checkpoint was trained on)."""
+    if requested == "auto":
+        return trained_mode or "clean"
+    if requested not in ("clean", "legacy"):
+        raise ValueError(f"heatmap_mode must be 'auto', 'clean' or 'legacy', "
+                         f"got {requested!r}")
+    if trained_mode is not None and requested != trained_mode:
+        import warnings
+        warnings.warn(
+            f"heatmap_mode={requested!r} contradicts the checkpoint "
+            f"({source}): the model was trained on {trained_mode!r} proxies. "
+            f"Border-joint heatmap channels differ by up to 1.0 between "
+            f"modes, so predictions will be degraded. Use "
+            f"heatmap_mode='auto' (or {trained_mode!r}) unless this "
+            f"mismatch is deliberate.", UserWarning, stacklevel=2)
+    return requested
+
+
 def load_regressor_variables(cfg: PredictConfig, assets):
+    """Build the regressor and load weights per `cfg.checkpoint`.
+
+    Returns `(model, variables, heatmap_mode)` — the third value is the
+    RESOLVED proxy heatmap mode ('clean' | 'legacy'): reference `.tar`
+    checkpoints (`run_predict.py:15-16`) were trained on legacy-grid
+    heatmaps so they resolve to 'legacy'; repo orbax checkpoints carry
+    their training mode in metadata (utils/checkpoints.py); no checkpoint
+    resolves to 'clean'.  See `resolve_heatmap_mode`.
+    """
     model = build_regressor(assets.mean_pose_6d, assets.mean_shape,
                             in_channels=cfg.model.resnet_in_channels,
                             resnet_layers=cfg.model.resnet_layers,
                             ief_iters=cfg.model.ief_iters,
                             compute_dtype=cfg.model.compute_dtype)
+    trained_mode = None
     if cfg.checkpoint is None:
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, cfg.img_wh, cfg.img_wh,
@@ -118,8 +155,14 @@ def load_regressor_variables(cfg: PredictConfig, assets):
         variables = load_reference_checkpoint(cfg.checkpoint)
         variables = {"params": variables["params"],
                      "batch_stats": variables["batch_stats"]}
+        # The released reference checkpoints were trained on proxies built
+        # by the legacy torch heatmap path (`run_predict.py:15-16` +
+        # `utils/label_conversions.py:90-127`).
+        trained_mode = "legacy"
     else:
         import orbax.checkpoint as ocp
+
+        from straps_tpu.utils.checkpoints import decode_meta_str
         restored = ocp.PyTreeCheckpointer().restore(
             os.path.abspath(cfg.checkpoint))
         if "best_params" in restored:
@@ -128,10 +171,16 @@ def load_regressor_variables(cfg: PredictConfig, assets):
         else:
             params, bs = restored["params"], restored["batch_stats"]
         variables = {"params": params, "batch_stats": bs}
-    return model, variables
+        meta = restored.get("meta")
+        if meta is not None and "heatmap_mode" in meta:
+            trained_mode = decode_meta_str(meta["heatmap_mode"])
+    mode = resolve_heatmap_mode(getattr(cfg, "heatmap_mode", "auto"),
+                                trained_mode, str(cfg.checkpoint))
+    return model, variables, mode
 
 
-def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True):
+def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True,
+                             heatmap_mode: str = "clean"):
     """Run the JAX detector front-end on a folder of images: pad to square,
     resize to 512, Keypoint-RCNN joints + PointRend/DensePose silhouette,
     largest-centred instance selection, proxy construction — the
@@ -249,7 +298,7 @@ def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True):
     save_proxies(os.path.join(cfg.out_dir, "proxies"), names, sils, joints)
     proxies, _ = batch_silhouettes_joints_to_proxies(
         jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(joints)),
-        cfg.img_wh, heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
+        cfg.img_wh, heatmap_mode=heatmap_mode)
     return names, proxies, vis
 
 
@@ -298,19 +347,18 @@ def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarra
     SMPL params, camera, reposed verts.
     """
     assets = load_assets(cfg.smpl_dir)
-    model, variables = load_regressor_variables(cfg, assets)
+    model, variables, heatmap_mode = load_regressor_variables(cfg, assets)
     if cfg.silhouettes_from == "cached":
         proxy_dir = cfg.proxy_dir or cfg.input_dir
         names, proxies = load_cached_proxies(
-            proxy_dir, cfg.img_wh,
-            heatmap_mode=getattr(cfg, "heatmap_mode", "clean"))
+            proxy_dir, cfg.img_wh, heatmap_mode=heatmap_mode)
         # Cached proxies carry no record of the crop their camera lives in
         # (and no source image), so the vis falls back to standalone
         # renders/scatters and proxy-channel images.
         vis = [None] * len(names)
     else:
-        names, proxies, vis = detect_and_build_proxies(cfg,
-                                                       build_vis=save_vis)
+        names, proxies, vis = detect_and_build_proxies(
+            cfg, build_vis=save_vis, heatmap_mode=heatmap_mode)
     predict = make_predict_fn(model, variables, assets, cfg.img_wh)
     out = predict(proxies)
     # ONE host transfer for every output (CLAUDE.md rule: per-key

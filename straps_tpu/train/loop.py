@@ -169,7 +169,11 @@ def train(cfg: TrainConfig, assets=None,
                 state=state, epoch=epoch, best_epoch=best_epoch,
                 best_params=best_params,
                 best_epoch_val_metrics={k: float(v) for k, v in
-                                        best_epoch_val_metrics.items()})
+                                        best_epoch_val_metrics.items()},
+                # Recorded so predict/eval auto-select the proxy heatmap
+                # distribution this model was trained on (PredictConfig
+                # heatmap_mode='auto').
+                heatmap_mode=cfg.heatmap_mode)
 
     # Best-epoch record for callers (the CLI report): history[-1] is the
     # LAST epoch's value, not the best epoch's.
