@@ -73,37 +73,99 @@ class KeypointHead(nn.Module):
         return x                                          # (R, 56, 56, 17)
 
 
-def keypoint_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray,
-                    upsample: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Heatmap argmax -> image-space keypoints.
+def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Keys cubic convolution kernel with a=-0.75 (torch bicubic)."""
+    at = jnp.abs(t)
+    near = ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+    far = a * (((at - 5.0) * at + 8.0) * at - 4.0)
+    return jnp.where(at <= 1.0, near, jnp.where(at < 2.0, far, 0.0))
 
-    detectron2's `heatmaps_to_keypoints` resizes each (56, 56) heatmap to the
-    exact ROI size with bicubic interpolation before the argmax (sub-pixel
-    precision); ROI size is dynamic, so here the heatmap is upsampled by a
-    STATIC `upsample` factor (bicubic, half-pixel centres) instead —
-    quantisation error <= box_side / (2 * 56 * upsample), ~1px at a 500px box
-    with the default 4x.
+
+def _bicubic_resize_weights(src_len: int, out_len: int,
+                            target_len: jnp.ndarray) -> jnp.ndarray:
+    """(out_len, src_len) weight matrix of torch
+    `F.interpolate(mode="bicubic", align_corners=False)` resizing a
+    `src_len` axis to `target_len` samples (a traced scalar <= the static
+    `out_len`); rows o >= target_len are zeroed.  Source indices outside
+    [0, src_len) replicate the edge texel (torch's bounded accessor), so
+    each valid row's 4 taps still sum to 1."""
+    o = jnp.arange(out_len, dtype=jnp.float32)
+    sx = (o + 0.5) * (src_len / target_len) - 0.5
+    fs = jnp.floor(sx)
+    frac = sx - fs
+    W = jnp.zeros((out_len, src_len), jnp.float32)
+    for m in (-1, 0, 1, 2):
+        idx = jnp.clip(fs + m, 0, src_len - 1).astype(jnp.int32)
+        W = W + _cubic_kernel(frac - m)[:, None] * jax.nn.one_hot(
+            idx, src_len, dtype=jnp.float32)
+    return W * (o < target_len)[:, None]
+
+
+def keypoint_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray,
+                    grid_size: int = 512, row_chunk: int = 64
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Heatmap argmax -> image-space keypoints, with detectron2's EXACT
+    `heatmaps_to_keypoints` semantics (consumed by the reference via
+    `predict/predict_joints2D.py:33-60`): each (S, S) heatmap is resized to
+    the integer ROI size (ceil(w), ceil(h); min 1) with bicubic
+    interpolation (align_corners=False) before the argmax, and the peak maps
+    back through x = x1 + (xi + 0.5) * w / ceil(w).
+
+    The ROI size is dynamic, so the resize is evaluated as two separable
+    per-box weight matrices against a STATIC `grid_size` output grid
+    (the paste_mask trick) with rows/columns >= the true ceil size masked
+    out — bit-equivalent to d2's dynamic resize for every box up to
+    `grid_size` px.  The (grid x grid) product is never materialised:
+    a scan over `row_chunk`-row blocks carries a running max/argmax, so
+    peak memory is R*row_chunk*grid_size*K.
 
     Args:
-      heatmaps: (R, S, S, K); boxes: (R, 4) xyxy.
+      heatmaps: (R, S, S, K); boxes: (R, 4) xyxy in the output frame —
+        box sides must not exceed `grid_size` (boxes are clipped to the
+        image, so the image size is always a safe grid).
     Returns:
-      (R, K, 2) xy coords, (R, K) scores.
+      (R, K, 2) xy coords, (R, K) scores (the interpolated map value at
+      the peak, d2's xy_preds[:, :, 2]).
     """
     R, S, _, K = heatmaps.shape
-    U = S * upsample
-    if upsample > 1:
-        maps = jax.image.resize(heatmaps, (R, U, U, K), method="cubic")
-    else:
-        maps = heatmaps
-    flat = maps.reshape(R, U * U, K)
-    idx = jnp.argmax(flat, axis=1)                       # (R, K)
-    scores = jnp.max(flat, axis=1)
-    py = (idx // U).astype(jnp.float32)
-    px = (idx % U).astype(jnp.float32)
-    w = (boxes[:, 2] - boxes[:, 0])[:, None]
-    h = (boxes[:, 3] - boxes[:, 1])[:, None]
-    x = boxes[:, 0:1] + (px + 0.5) * w / U
-    y = boxes[:, 1:2] + (py + 0.5) * h / U
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    w = jnp.maximum(boxes[:, 2] - x1, 1.0)      # d2 clamps roi sides min 1
+    h = jnp.maximum(boxes[:, 3] - y1, 1.0)
+    wc = jnp.minimum(jnp.ceil(w), grid_size)
+    hc = jnp.minimum(jnp.ceil(h), grid_size)
+    n_chunks = -(-grid_size // row_chunk)
+    G = n_chunks * row_chunk
+    Wx = jax.vmap(lambda t: _bicubic_resize_weights(S, G, t))(wc)  # (R,G,S)
+    Wy = jax.vmap(lambda t: _bicubic_resize_weights(S, G, t))(hc)
+    # x-axis interpolation once; precision="highest" — sub-pixel peak
+    # locations are exactly what bf16-ish default matmuls would blur.
+    cols = jnp.einsum("rjik,rxi->rjxk", heatmaps, Wx,
+                      precision="highest")                # (R, S, G, K)
+    xmask = jnp.arange(G)[None, :] < wc[:, None]          # (R, G)
+
+    wy_chunks = Wy.reshape(R, n_chunks, row_chunk, S).transpose(1, 0, 2, 3)
+
+    def body(carry, wy_c):
+        best, besty, bestx, base = carry
+        block = jnp.einsum("rcj,rjxk->rcxk", wy_c, cols,
+                           precision="highest")           # (R, C, G, K)
+        yvalid = (base + jnp.arange(row_chunk))[None, :] < hc[:, None]
+        m = yvalid[:, :, None] & xmask[:, None, :]
+        block = jnp.where(m[..., None], block, -jnp.inf)
+        flat = block.reshape(R, row_chunk * G, K)
+        idx = jnp.argmax(flat, axis=1)                    # (R, K)
+        val = jnp.take_along_axis(flat, idx[:, None, :], axis=1)[:, 0]
+        yloc = base + idx // G
+        xloc = idx % G
+        upd = val > best
+        return (jnp.where(upd, val, best), jnp.where(upd, yloc, besty),
+                jnp.where(upd, xloc, bestx), base + row_chunk), None
+
+    init = (jnp.full((R, K), -jnp.inf), jnp.zeros((R, K), jnp.int32),
+            jnp.zeros((R, K), jnp.int32), jnp.asarray(0, jnp.int32))
+    (scores, besty, bestx, _), _ = jax.lax.scan(body, init, wy_chunks)
+    x = x1[:, None] + (bestx.astype(jnp.float32) + 0.5) * (w / wc)[:, None]
+    y = y1[:, None] + (besty.astype(jnp.float32) + 0.5) * (h / hc)[:, None]
     return jnp.stack([x, y], axis=-1), scores
 
 

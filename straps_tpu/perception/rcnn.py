@@ -115,9 +115,13 @@ class KeypointRCNN(nn.Module):
         kp_roi = pooled_box_features(feats, boxes, 14,
                                      compute_dtype=self.backbone_dtype)
         heatmaps = KeypointHead(name="keypoint_head")(kp_roi)
-        scale = (self.output_size / image.shape[0]) if self.output_size else 1.0
+        out_size = self.output_size or image.shape[0]
+        scale = out_size / image.shape[0]
         out_boxes = boxes * scale
-        keypoints, kp_scores = keypoint_decode(heatmaps, out_boxes)
+        # Boxes are clipped to the image, so out_size bounds every ROI side:
+        # the static decode grid covers d2's dynamic resize exactly.
+        keypoints, kp_scores = keypoint_decode(heatmaps, out_boxes,
+                                               grid_size=out_size)
         return {"boxes": out_boxes, "scores": scores, "valid": valid,
                 "keypoints": keypoints, "keypoint_scores": kp_scores}
 

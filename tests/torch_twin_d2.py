@@ -519,6 +519,30 @@ def d2_paste_mask(mask_logits, box, img_size, threshold=0.5):
     return ((vals * inside) > threshold).float()
 
 
+def d2_heatmaps_to_keypoints(maps, rois):
+    """detectron2 `heatmaps_to_keypoints` (consumed by the reference via
+    `predict/predict_joints2D.py:33-60`), implemented from its spec: resize
+    each (K, S, S) heatmap to the integer ROI size with bicubic
+    interpolation (align_corners=False), argmax on that grid, map back via
+    (idx + 0.5) * side / ceil(side).  Returns (R, K, 3): x, y, peak value."""
+    n, K = maps.shape[0], maps.shape[1]
+    out = torch.zeros(n, K, 3)
+    widths = (rois[:, 2] - rois[:, 0]).clamp(min=1)
+    heights = (rois[:, 3] - rois[:, 1]).clamp(min=1)
+    for i in range(n):
+        wc = int(widths[i].ceil())
+        hc = int(heights[i].ceil())
+        roi_map = F.interpolate(maps[[i]], size=(hc, wc), mode="bicubic",
+                                align_corners=False)[0]      # (K, hc, wc)
+        pos = roi_map.view(K, -1).argmax(1)
+        x_int = pos % wc
+        y_int = pos // wc
+        out[i, :, 0] = rois[i, 0] + (x_int.float() + 0.5) * widths[i] / wc
+        out[i, :, 1] = rois[i, 1] + (y_int.float() + 0.5) * heights[i] / hc
+        out[i, :, 2] = roi_map[torch.arange(K), y_int, x_int]
+    return out
+
+
 # ----------------------------------------------------------------- twins --
 
 class D2KeypointRCNNTwin(nn.Module):
