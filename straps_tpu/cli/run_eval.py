@@ -9,14 +9,17 @@ import argparse
 import json
 
 from straps_tpu.config import PredictConfig
-from straps_tpu.eval_harness import load_eval_npz, run_evaluation
+from straps_tpu.eval_harness import load_eval_dataset, run_evaluation
 from straps_tpu.utils.profiling import enable_persistent_compile_cache
 
 
 def main(argv=None):
     enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description="Evaluate on SSP-3D/3DPW-style npz")
-    parser.add_argument("--dataset", required=True, help="eval npz path")
+    parser.add_argument("--dataset", required=True,
+                        help="eval data: an SSP-3D release root (labels.npz "
+                             "+ silhouettes/), that labels.npz itself, a "
+                             "3DPW root, or any canonical eval npz")
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--metrics", nargs="+",
                         default=["pves", "pves_sc", "pves_pa", "pve-ts",
@@ -53,7 +56,7 @@ def main(argv=None):
     cfg = PredictConfig(checkpoint=args.checkpoint, img_wh=args.img_wh,
                         smpl_dir=args.smpl_dir,
                         heatmap_mode=args.heatmap_mode)
-    dataset = load_eval_npz(args.dataset)
+    dataset = load_eval_dataset(args.dataset)
     final = run_evaluation(dataset, cfg, metrics=tuple(args.metrics),
                            batch_size=args.batch_size,
                            save_per_frame=args.save_per_frame is not None,

@@ -60,6 +60,11 @@ def load_ssp3d(labels_path: str,
     jk = _first_key(data, _JOINTS_KEYS)
     if jk is not None:
         out["joints2D"] = np.asarray(data[jk], np.float32)[..., :2]
+    # Release-layout extras ride along untouched (the public SSP-3D
+    # labels.npz also carries bbox_centres/bbox_whs/cam_trans).
+    for k in ("cam_trans", "bbox_centres", "bbox_whs"):
+        if k in data:
+            out[k] = np.asarray(data[k], np.float32)
     if "fnames" in data:
         out["fnames"] = np.asarray([str(f) for f in data["fnames"]])
     if silhouette_dir is not None and "fnames" in out:
@@ -80,6 +85,43 @@ def load_ssp3d(labels_path: str,
         if sils:
             out["silhouettes"] = np.stack(sils)
     return out
+
+
+def load_eval_dataset(path: str) -> Dict[str, np.ndarray]:
+    """Dispatch a `--dataset` argument to the right adapter.
+
+    Accepts, in the shapes users actually have on disk:
+      * the public SSP-3D release ROOT (the directory you unzip:
+        `labels.npz` + `silhouettes/` PNG folder + `images/`) — loaded via
+        `load_ssp3d` with the silhouette folder attached, which is the
+        image-frame mIoU protocol input
+        (`metrics/eval_metrics_tracker.py:158-178`);
+      * a path to that `labels.npz` itself (a sibling `silhouettes/` dir is
+        picked up automatically);
+      * a 3DPW root containing `sequenceFiles/`;
+      * any canonical eval npz (poses/shapes/...).
+    """
+    if os.path.isdir(path):
+        labels = os.path.join(path, "labels.npz")
+        if os.path.exists(labels):
+            sil_dir = os.path.join(path, "silhouettes")
+            return load_ssp3d(
+                labels, sil_dir if os.path.isdir(sil_dir) else None)
+        if os.path.isdir(os.path.join(path, "sequenceFiles")) or \
+                glob.glob(os.path.join(path, "*.pkl")):
+            return load_3dpw(path)
+        raise FileNotFoundError(
+            f"{path}: no labels.npz or sequenceFiles/ inside")
+    if os.path.basename(path) == "labels.npz":
+        sil_dir = os.path.join(os.path.dirname(path), "silhouettes")
+        return load_ssp3d(path,
+                          sil_dir if os.path.isdir(sil_dir) else None)
+    data = dict(np.load(path, allow_pickle=True))
+    assert _first_key(data, _POSE_KEYS) and _first_key(data, _SHAPE_KEYS), \
+        f"eval npz needs poses/shapes; got {list(data)}"
+    if "poses" in data and "shapes" in data:
+        return data
+    return load_ssp3d(path)   # alias normalisation
 
 
 def load_3dpw(sequence_dir: str, split: str = "test",

@@ -256,6 +256,72 @@ class TestDatasetAdapters:
         assert list(out["genders"]) == ["m", "f"]
         assert out["joints2D"].shape == (2, 17, 2)
 
+    def _write_ssp3d_release(self, root, n=4, img_wh=64):
+        """Write the PUBLIC SSP-3D release layout (VERDICT r3 Missing #5):
+        <root>/labels.npz with the real release key set (fnames, poses,
+        shapes, genders, joints2D, bbox_centres, bbox_whs, cam_trans),
+        <root>/silhouettes/<fname> PNGs and <root>/images/<fname>."""
+        import cv2
+        from straps_tpu.eval_harness import synthesise_proxy_inputs
+        from straps_tpu.smpl import load_assets
+
+        rng = np.random.RandomState(5)
+        poses = (rng.randn(n, 72) * 0.2).astype(np.float32)
+        shapes = (rng.randn(n, 10) * 0.5).astype(np.float32)
+        assets = load_assets(None)
+        sils, j2d = synthesise_proxy_inputs(poses, shapes, assets, img_wh)
+        fnames = np.array([f"video{i:02d}_frame{i:03d}.png"
+                           for i in range(n)])
+        (root / "silhouettes").mkdir()
+        (root / "images").mkdir()
+        for i, f in enumerate(fnames):
+            cv2.imwrite(str(root / "silhouettes" / f),
+                        (sils[i] * 255).astype(np.uint8))
+            cv2.imwrite(str(root / "images" / f),
+                        rng.randint(0, 255, (img_wh, img_wh, 3),
+                                    np.uint8))
+        np.savez(root / "labels.npz",
+                 fnames=fnames, poses=poses, shapes=shapes,
+                 genders=np.array(["m", "f", "f", "m"][:n]),
+                 joints2D=j2d.astype(np.float32),
+                 bbox_centres=np.full((n, 2), img_wh / 2, np.float32),
+                 bbox_whs=np.full((n,), img_wh * 0.8, np.float32),
+                 cam_trans=np.tile(np.array([0.0, 0.2, 42.0], np.float32),
+                                   (n, 1)))
+        return poses, shapes, sils
+
+    def test_ssp3d_release_layout_end_to_end(self, tmp_path, capsys):
+        """Release-layout rehearsal: unzip-shaped SSP-3D root through the
+        `run_eval --iou-frame image` CLI end to end — the paper's mIoU
+        protocol path (`metrics/eval_metrics_tracker.py:158-178`) from real
+        on-disk formats, no hand-built dicts."""
+        import json
+        from straps_tpu.cli import run_eval
+        from straps_tpu.eval_harness import load_eval_dataset
+
+        root = tmp_path / "ssp_3d"
+        root.mkdir()
+        poses, shapes, sils = self._write_ssp3d_release(root)
+
+        # The adapter reproduces the annotation from disk exactly.
+        ds = load_eval_dataset(str(root))
+        assert ds["poses"].shape == (4, 72)
+        assert list(ds["genders"]) == ["m", "f", "f", "m"]
+        assert ds["silhouettes"].shape == sils.shape
+        np.testing.assert_array_equal(ds["silhouettes"] > 0, sils > 0)
+        assert ds["cam_trans"].shape == (4, 3)
+
+        run_eval.main(["--dataset", str(root), "--iou-frame", "image",
+                       "--metrics", "pves", "pves_pa", "silhouette_ious",
+                       "--img-wh", "64", "--batch-size", "4"])
+        out = json.loads(capsys.readouterr().out)
+        for k in ("pves", "pves_pa", "silhouette_ious"):
+            assert np.isfinite(out[k]), (k, out)
+        assert 0.0 <= out["silhouette_ious"] <= 1.0
+        # labels.npz alone (sibling silhouettes/ picked up) loads the same.
+        ds2 = load_eval_dataset(str(root / "labels.npz"))
+        np.testing.assert_array_equal(ds2["silhouettes"], ds["silhouettes"])
+
     def test_load_3dpw_sequences(self, tmp_path):
         import numpy as np
         import pickle
@@ -276,6 +342,10 @@ class TestDatasetAdapters:
         assert out["poses"].shape == (9, 72)   # 4 valid + 5
         assert out["shapes"].shape == (9, 10)
         assert set(out["genders"]) == {"m", "f"}
+        # The --dataset dispatcher routes a 3DPW root the same way.
+        from straps_tpu.eval_harness import load_eval_dataset
+        out2 = load_eval_dataset(str(tmp_path))
+        np.testing.assert_array_equal(out2["poses"], out["poses"])
 
 
 class TestEvalFixRegressions:
