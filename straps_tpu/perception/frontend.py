@@ -132,22 +132,26 @@ def make_batched_apply_fn(model, variables, normalise: bool = False):
 
 def run_detector_batched(model, variables, images_rgb, test_size=None,
                          chunk: int = 8, apply_fn=None) -> dict:
-    """Run a detector over a list of same-size images with ceil(N/chunk)
-    jitted calls (static shapes: the final partial chunk is padded by
-    repeating the last image and sliced off).  Returns the model's output
-    dict with a leading image axis, pulled to host in one transfer per
-    chunk.  Images ship to the device in their raw dtype (uint8 for real
+    """Run a detector over a list of same-size images with floor(N/chunk)
+    full-chunk jitted calls plus the N%chunk remainder at batch size 1
+    (static shapes throughout: two compiled programs instead of padding the
+    tail up to `chunk` — a 9-image folder runs 9 detector forwards at 800²,
+    not 16, at the cost of one extra cached compile).  Returns the model's
+    output dict with a leading image axis, pulled to host in one transfer
+    per call.  Images ship to the device in their raw dtype (uint8 for real
     images); normalisation happens on device."""
     if apply_fn is None:
         apply_fn = make_batched_apply_fn(model, variables, normalise=True)
     n = len(images_rgb)
     inputs = np.stack([_resize_for_test(im, test_size)
                        for im in images_rgb])
-    idx_all = np.concatenate([np.arange(n),
-                              np.full((-n) % chunk, n - 1, np.int64)])
+    full = n - n % chunk
     outs = []
-    for s in range(0, len(idx_all), chunk):
-        batch = jnp.asarray(inputs[idx_all[s:s + chunk]])
+    for s in range(0, full, chunk):
+        batch = jnp.asarray(inputs[s:s + chunk])
+        outs.append(_unpack_mask_bits(jax.device_get(apply_fn(batch))))
+    for i in range(full, n):
+        batch = jnp.asarray(inputs[i:i + 1])
         outs.append(_unpack_mask_bits(jax.device_get(apply_fn(batch))))
     return {k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
 
