@@ -59,6 +59,8 @@ class DetectionTrunk(nn.Module):
     max_detections: int = MAX_DETECTIONS
     backbone_depth: int = 50
     num_classes: int = 1
+    # detectron2 ROI_HEADS.SCORE_THRESH_TEST.
+    score_thresh: float = 0.05
     # detectron2 ROI_BOX_HEAD.POOLER_TYPE: ROIAlignV2 (aligned) for the
     # KP/PointRend configs, legacy "ROIAlign" for DensePose
     # (`DensePose/configs/Base-DensePose-RCNN-FPN.yaml`).
@@ -92,6 +94,7 @@ class DetectionTrunk(nn.Module):
                                      name="box_head")(roi)
         det_boxes, det_scores, det_valid = box_inference(
             scores, box_deltas, proposals, p_valid, img_size,
+            score_thresh=self.score_thresh,
             max_detections=self.max_detections)
         return feats, det_boxes, det_scores, det_valid
 
@@ -105,12 +108,14 @@ class KeypointRCNN(nn.Module):
     max_detections: int = MAX_DETECTIONS
     output_size: int = 0
     backbone_dtype: str = None
+    score_thresh: float = 0.05
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats, boxes, scores, valid = DetectionTrunk(
             post_nms_topk=self.post_nms_topk,
             max_detections=self.max_detections,
+            score_thresh=self.score_thresh,
             backbone_dtype=self.backbone_dtype, name="trunk")(image)
         kp_roi = pooled_box_features(feats, boxes, 14,
                                      compute_dtype=self.backbone_dtype)
@@ -139,6 +144,7 @@ class PointRendRCNN(nn.Module):
     num_classes: int = 80
     output_size: int = 0
     backbone_dtype: str = None
+    score_thresh: float = 0.05
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -146,6 +152,7 @@ class PointRendRCNN(nn.Module):
             post_nms_topk=self.post_nms_topk,
             max_detections=self.max_detections,
             num_classes=self.num_classes,
+            score_thresh=self.score_thresh,
             backbone_dtype=self.backbone_dtype, name="trunk")(image)
         # detectron2's coarse features are regular-grid point_sample on p2
         # (grid_sample ZERO padding) — equal to single-sample ROIAlign in
@@ -181,6 +188,7 @@ class DensePoseRCNN(nn.Module):
     backbone_depth: int = 101
     output_size: int = 0
     backbone_dtype: str = None
+    score_thresh: float = 0.05
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -189,6 +197,7 @@ class DensePoseRCNN(nn.Module):
             max_detections=self.max_detections,
             backbone_depth=self.backbone_depth,
             box_pooler_aligned=False,
+            score_thresh=self.score_thresh,
             backbone_dtype=self.backbone_dtype, name="trunk")(image)
         # POOLER_RESOLUTION=14, legacy-ROIAlign pooler type
         # (`DensePose/densepose/config.py:26-27` defaults + the base yaml's

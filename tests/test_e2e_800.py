@@ -124,14 +124,20 @@ class TestPointRendRCNN800:
         variables = convert_d2_state(twin_state_to_d2(twin))
         image = _image(43)
 
+        # Random 80-class softmax scores (~1/81) never cross the production
+        # 0.05 threshold, so the production-size pipeline is asserted at
+        # score_thresh=0 on BOTH sides (d2 ROI_HEADS.SCORE_THRESH_TEST is a
+        # config knob; everything downstream of the threshold is identical).
         with torch.no_grad():
             tout = twin(torch.from_numpy(image),
                         post_nms_topk=POST_NMS_TOPK,
-                        max_detections=MAX_DETECTIONS)
+                        max_detections=MAX_DETECTIONS,
+                        score_thresh=0.0)
 
         model = PointRendRCNN(post_nms_topk=POST_NMS_TOPK,
                               max_detections=MAX_DETECTIONS,
-                              num_classes=80, output_size=OUT)
+                              num_classes=80, output_size=OUT,
+                              score_thresh=0.0)
         out = model.apply(variables, jnp.asarray(image))
         valid = np.asarray(out["valid"])
         assert valid.any() == (len(tout["boxes"]) > 0)

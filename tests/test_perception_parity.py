@@ -274,16 +274,27 @@ class TestPointRendParity:
 
     def test_end_to_end_masks(self, pr_setup):
         twin, variables, image, tout = pr_setup
+        # At the real 0.05 threshold both sides must agree on emptiness
+        # (random 80-class softmax scores sit near 1/81) ...
+        with torch.no_grad():
+            tout_real = twin(torch.from_numpy(image), post_nms_topk=TOPK,
+                             max_detections=2)
+        out_real = PointRendRCNN(post_nms_topk=TOPK, max_detections=2,
+                                 num_classes=80).apply(
+            variables, jnp.asarray(image))
+        assert (np.asarray(out_real["valid"]).any()
+                == (len(tout_real["boxes"]) > 0))
+        # ... and the full mask pipeline is asserted non-vacuously at
+        # score_thresh=0 on BOTH sides (d2 ROI_HEADS.SCORE_THRESH_TEST is
+        # config; everything downstream of the threshold is identical).
         with torch.no_grad():
             tout_e2e = twin(torch.from_numpy(image), post_nms_topk=TOPK,
-                            max_detections=2)   # real 0.05 threshold
+                            max_detections=2, score_thresh=0.0)
         model = PointRendRCNN(post_nms_topk=TOPK, max_detections=2,
-                              num_classes=80)
+                              num_classes=80, score_thresh=0.0)
         out = model.apply(variables, jnp.asarray(image))
         valid = np.asarray(out["valid"])
-        assert valid.any() == (len(tout_e2e["boxes"]) > 0)
-        if not valid.any():
-            return
+        assert valid.any() and len(tout_e2e["boxes"]) > 0
         np.testing.assert_allclose(np.asarray(out["boxes"])[valid][0],
                                    tout_e2e["boxes"].numpy()[0], atol=0.1)
         mj = np.asarray(out["masks"])[valid][0]
