@@ -247,6 +247,57 @@ def densepose_losses(s: jnp.ndarray, i: jnp.ndarray, u: jnp.ndarray,
             "u": loss_u, "v": loss_v}
 
 
+def densepose_result_uint8(s_logits: "np.ndarray", i_logits: "np.ndarray",
+                           u_logits: "np.ndarray", v_logits: "np.ndarray",
+                           box_xyxy: "np.ndarray") -> "np.ndarray":
+    """Host-side reference-exact DensePoseResult payload for one detection
+    (`DensePose/densepose/structures.py:374-401`): bilinear-resize the
+    (56, 56, C) S/I/U/V grids to the int box size (``max(int(wh), 1)``),
+    I = argmax AFTER resizing gated by the resized coarse foreground, U/V
+    selected per part id, scaled by 255, clamped and truncated to uint8.
+    Returns the (h, w, 3) uint8 (I, U, V) image `encode_iuv_png` packs onto
+    the wire.  numpy mirrors torch's nested-lerp evaluation order so values
+    match F.interpolate up to assoc-free bit identity."""
+    import numpy as np
+
+    x1, y1, x2, y2 = [float(c) for c in np.asarray(box_xyxy)]
+    w = max(int(x2 - x1), 1)
+    h = max(int(y2 - y1), 1)
+
+    def resize(grid):
+        S = grid.shape[0]
+
+        def coords(n):
+            x = ((np.arange(n, dtype=np.float32) + 0.5)
+                 * np.float32(S / n) - 0.5)
+            x = np.maximum(x, 0)
+            i0 = np.minimum(np.floor(x).astype(np.int64), S - 1)
+            lam = (x - i0).astype(np.float32)
+            return i0, np.minimum(i0 + 1, S - 1), lam
+
+        r0, r1, ly = coords(h)
+        c0, c1, lx = coords(w)
+        g = np.asarray(grid, np.float32)
+        v00, v01 = g[np.ix_(r0, c0)], g[np.ix_(r0, c1)]
+        v10, v11 = g[np.ix_(r1, c0)], g[np.ix_(r1, c1)]
+        lx_, ly_ = lx[None, :, None], ly[:, None, None]
+        return ((1 - ly_) * ((1 - lx_) * v00 + lx_ * v01)
+                + ly_ * ((1 - lx_) * v10 + lx_ * v11))
+
+    s_b, i_b = resize(np.asarray(s_logits)), resize(np.asarray(i_logits))
+    u_b, v_b = resize(np.asarray(u_logits)), resize(np.asarray(v_logits))
+    part = i_b.argmax(-1) * (s_b.argmax(-1) > 0)
+    take = part[..., None] == np.arange(u_b.shape[-1])[None, None, :]
+    u_sel = (u_b * take).sum(-1)
+    v_sel = (v_b * take).sum(-1)
+    out = np.zeros((h, w, 3), np.uint8)
+    out[..., 0] = part.astype(np.uint8)
+    nz = part > 0
+    out[..., 1][nz] = np.clip(u_sel[nz] * 255.0, 0, 255).astype(np.uint8)
+    out[..., 2][nz] = np.clip(v_sel[nz] * 255.0, 0, 255).astype(np.uint8)
+    return out
+
+
 def encode_iuv_png(iuv_uint8: "np.ndarray") -> str:
     """Pack a per-box (H, W, 3) uint8 IUV image as base64 PNG — the wire
     format of `DensePose/densepose/structures.py:355-455` results."""
@@ -270,6 +321,67 @@ def decode_iuv_png(data: str) -> "np.ndarray":
     from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(base64.b64decode(data))))
+
+
+def _interp_axis_rows(i_local: jnp.ndarray, n_box: jnp.ndarray,
+                      src: int) -> jnp.ndarray:
+    """(N,) box-local integer pixel indices -> (N, src) bilinear tap rows of
+    torch ``F.interpolate(mode="bilinear", align_corners=False)`` resizing a
+    `src`-sample axis to `n_box` samples (a traced int scalar), including
+    torch's source-index handling: negative source coords clamp to 0, and at
+    the top edge the second tap is pinned to `src - 1` (h1p=0), so every
+    in-range row's taps sum to ~1.  Rows whose box-local index falls outside
+    [0, n_box) are zeroed — downstream channel scores there are exactly 0."""
+    x = ((i_local.astype(jnp.float32) + 0.5)
+         * (src / n_box.astype(jnp.float32)) - 0.5)
+    x = jnp.maximum(x, 0.0)
+    i0 = jnp.minimum(jnp.floor(x).astype(jnp.int32), src - 1)
+    lam = x - i0.astype(jnp.float32)
+    i1 = jnp.minimum(i0 + 1, src - 1)
+    rows = (jax.nn.one_hot(i0, src) * (1.0 - lam)[:, None]
+            + jax.nn.one_hot(i1, src) * lam[:, None])
+    valid = (i_local >= 0) & (i_local < n_box)
+    return rows * valid[:, None].astype(jnp.float32)
+
+
+def paste_densepose_labels(s_logits: jnp.ndarray, i_logits: jnp.ndarray,
+                           box_xyxy: jnp.ndarray, out_h: int,
+                           out_w: int) -> jnp.ndarray:
+    """Reference-exact DensePose label paste into the image frame.
+
+    `DensePose/densepose/structures.py:374-401` resizes the (56, 56) S and I
+    logit grids bilinearly to the INT box size (``max(int(w), 1)``), argmaxes
+    AFTER resizing (part gated by the resized coarse foreground), and
+    `predict/predict_densepose.py:95-101` pastes the resulting label map at
+    the int-truncated box origin.  Frame pixel (y, x) inside the box IS box
+    pixel (y - int(y1), x - int(x1)), so resize-to-box + paste collapses into
+    two separable weight matmuls per channel (the `paste_mask` trick) over a
+    static frame grid — jittable, no dynamic shapes.  Outside the box every
+    tap row is zero, all channel scores are exactly 0, and both argmaxes land
+    on background deterministically.
+
+    Returns the (out_h, out_w) int32 part-label map (0 = background)."""
+    src = s_logits.shape[0]
+    x0 = jnp.trunc(box_xyxy[0]).astype(jnp.int32)
+    y0 = jnp.trunc(box_xyxy[1]).astype(jnp.int32)
+    # max(int(w), 1): structures.py:375-377 (int() == trunc; detections are
+    # frame-clipped so coords are non-negative and floor == trunc).
+    wi = jnp.maximum(
+        jnp.trunc(box_xyxy[2] - box_xyxy[0]).astype(jnp.int32), 1)
+    hi = jnp.maximum(
+        jnp.trunc(box_xyxy[3] - box_xyxy[1]).astype(jnp.int32), 1)
+    ry = _interp_axis_rows(jnp.arange(out_h, dtype=jnp.int32) - y0, hi, src)
+    rx = _interp_axis_rows(jnp.arange(out_w, dtype=jnp.int32) - x0, wi, src)
+    si = jnp.concatenate([s_logits, i_logits], axis=-1).astype(jnp.float32)
+    # HIGHEST precision: the output is an argmax over resampled channels,
+    # where default-precision matmul error could flip labels at part
+    # boundaries (same rationale as `paste_mask`).
+    vals = jnp.einsum("ys,stc,xt->yxc", ry, si, rx,
+                      precision=jax.lax.Precision.HIGHEST)
+    ns = s_logits.shape[-1]
+    fg = jnp.argmax(vals[..., :ns], axis=-1) > 0
+    part = jnp.argmax(vals[..., ns:], axis=-1)
+    return jnp.where(fg, part, 0).astype(jnp.int32)
 
 
 def densepose_to_iuv(s: jnp.ndarray, i: jnp.ndarray, u: jnp.ndarray,

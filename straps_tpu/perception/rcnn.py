@@ -27,6 +27,7 @@ from straps_tpu.perception.pointrend import (
 )
 from straps_tpu.perception.densepose import (
     DensePoseHead, DensePosePredictor, densepose_to_iuv,
+    paste_densepose_labels,
 )
 from straps_tpu.perception.rpn import RPNHead, generate_proposals
 
@@ -189,6 +190,11 @@ class DensePoseRCNN(nn.Module):
     output_size: int = 0
     backbone_dtype: str = None
     score_thresh: float = 0.05
+    # Also emit the per-detection frame-size part-label maps ("part_map",
+    # uint8) — the reference's pasted I_image.  Off by default: it adds
+    # (R, out, out) bytes to the device->host pull (the tunnel link is the
+    # demo-path bottleneck) and only the vis overlay consumes it.
+    output_part_maps: bool = False
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -208,16 +214,24 @@ class DensePoseRCNN(nn.Module):
         x = DensePoseHead(name="densepose_head")(dp_roi)
         s, i, u, v = DensePosePredictor(name="densepose_predictor")(x)
         part, u_sel, v_sel = densepose_to_iuv(s, i, u, v)
-        # Binary person masks by pasting part>0 into the image frame.
         out_size = self.output_size or image.shape[0]
         scale = out_size / image.shape[0]
         out_boxes = boxes * scale
-        masks = jax.vmap(
-            lambda m, b: paste_mask(m, b, out_size, out_size)
-        )((part > 0).astype(jnp.float32) * 12.0 - 6.0, out_boxes)
-        return {"boxes": out_boxes, "scores": scores, "valid": valid,
-                "masks": masks.astype(bool), "part_index": part,
-                "u": u_sel, "v": v_sel}
+        # Reference-exact frame labels: resample the S/I logits bilinearly
+        # to the int box size, argmax AFTER resampling, paste at the
+        # int-truncated origin (structures.py:374-401 +
+        # predict_densepose.py:95-101).  The binary person silhouette STRAPS
+        # consumes is part_frame > 0.
+        part_frame = jax.vmap(
+            lambda sl, il, b: paste_densepose_labels(sl, il, b,
+                                                     out_size, out_size)
+        )(s, i, out_boxes)
+        out = {"boxes": out_boxes, "scores": scores, "valid": valid,
+               "masks": part_frame > 0, "part_index": part,
+               "u": u_sel, "v": v_sel}
+        if self.output_part_maps:
+            out["part_map"] = part_frame.astype(jnp.uint8)
+        return out
 
 
 def normalise_image(image_rgb: np.ndarray) -> np.ndarray:

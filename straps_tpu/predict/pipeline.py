@@ -215,7 +215,11 @@ def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True,
     if cfg.silhouettes_from == "pointrend":
         silh_model = PointRendRCNN(output_size=size, backbone_dtype=bb_dtype)
     else:
-        silh_model = DensePoseRCNN(output_size=size, backbone_dtype=bb_dtype)
+        # Frame part maps only when vis is built: they are the reference's
+        # pasted I_image (`predict_densepose.py:95-101`) and cost
+        # (R, 512, 512) extra bytes per image over the tunnel link.
+        silh_model = DensePoseRCNN(output_size=size, backbone_dtype=bb_dtype,
+                                   output_part_maps=build_vis)
     dummy = jnp.zeros((test_size, test_size, 3))
     kp_ckpt = getattr(cfg, "keypoint_checkpoint", None)
     silh_ckpt = getattr(cfg, "silhouette_checkpoint", None)
@@ -281,7 +285,12 @@ def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True,
         # (`predict_joints2D.py:53-59`, `predict_silhouette_pointrend.py:53-57`,
         # `predict_densepose.py:95-115`).
         joints_vis = keypoints_vis(img, kp)
-        if "part_index" in silh_out and sel is not None:
+        if "part_map" in silh_out and sel is not None:
+            # Device-pasted frame labels: the reference-exact I_image
+            # (resize-then-argmax at the int box size).
+            i_image = np.asarray(silh_out["part_map"][i][sel])
+            sil_vis = densepose_overlay_vis(img, i_image)
+        elif "part_index" in silh_out and sel is not None:
             i_image = paste_roi_map(silh_out["part_index"][i][sel],
                                     silh_out["boxes"][i][sel], size, size)
             sil_vis = densepose_overlay_vis(img, i_image)

@@ -6,6 +6,10 @@ twin — the bug class the r3 P6 anchor-grid fix proved real (size-dependent
 level assignment, top-k saturation interacting with the box head,
 subdivision on 800²-scale boxes).
 
+Also hosts the demo-image selection parity tests (round-4): the reference's
+8 real demo images through the batched front-end vs the reference's own
+selection loops run on the twin — same gate, same cost class.
+
 Gated behind STRAPS_E2E_800=1 (one ~800² R50-FPN forward per stack per
 model on this 1-core CPU host takes minutes; the compile cache makes
 repeat runs cheap):
@@ -162,6 +166,155 @@ class TestPointRendRCNN800:
             assert agree > 0.99, f"mask {i} agreement {agree}"
 
 
+class TestDemoImagesSelection:
+    """The reference's 8 demo images (real image statistics) through the
+    batched front-end with deterministic twin weights: the centred-person
+    selection picks the SAME instance on both stacks — the jax outputs fed
+    to `frontend.get_largest_centred_*` vs the twin outputs fed to the
+    reference's own selection loops, re-implemented verbatim below as the
+    oracle (`predict/predict_joints2D.py:5-30`,
+    `predict/predict_silhouette_pointrend.py:7-36`).  Skipped when the
+    read-only reference checkout is absent."""
+
+    DEMO_DIR = "/root/reference/demo"
+
+    @staticmethod
+    def _ref_box_selection(bboxes, orig_w, orig_h):
+        """predict_joints2D.py:5-30, verbatim semantics."""
+        areas = (bboxes[:, 2] - bboxes[:, 0]) * (bboxes[:, 3] - bboxes[:, 1])
+        order = np.argsort(areas)[::-1]
+        for idx in order:
+            cx = (bboxes[idx, 0] + bboxes[idx, 2]) / 2.0
+            cy = (bboxes[idx, 1] + bboxes[idx, 3]) / 2.0
+            if (abs(cx - orig_w / 2.0) < orig_w / 6.0
+                    and abs(cy - orig_h / 2.0) < orig_w / 6.0):
+                return int(idx)
+        return int(order[0])
+
+    @staticmethod
+    def _ref_mask_selection(masks, orig_w, orig_h):
+        """predict_silhouette_pointrend.py:7-36, verbatim semantics (mask
+        bbox centre from nonzero pixel extents; row tol orig_w/4, col tol
+        orig_w/6)."""
+        areas = masks.sum(axis=(1, 2))
+        order = np.argsort(areas)[::-1]
+        for idx in order:
+            px = np.argwhere(masks[idx] != 0)
+            if px.size == 0:     # the reference would crash here
+                continue
+            (rmin, cmin), (rmax, cmax) = px.min(0), px.max(0)
+            cr, cc = (rmin + rmax) / 2.0, (cmin + cmax) / 2.0
+            if (abs(cr - orig_h / 2.0) < orig_w / 4.0
+                    and abs(cc - orig_w / 2.0) < orig_w / 6.0):
+                return int(idx)
+        return int(order[0])
+
+    def _demo_images(self):
+        import glob
+
+        import cv2
+
+        from straps_tpu.geometry.bbox import pad_to_square_params
+
+        paths = sorted(glob.glob(os.path.join(self.DEMO_DIR, "*.png")))
+        if not paths:
+            pytest.skip("reference demo images unavailable")
+        images = []
+        for p in paths:
+            img = cv2.imread(p)[:, :, ::-1]
+            h, w = img.shape[:2]
+            top, left = pad_to_square_params(h, w)
+            img = np.pad(img, ((top, top), (left, left), (0, 0)))
+            images.append(cv2.resize(img, (OUT, OUT),
+                                     interpolation=cv2.INTER_LINEAR))
+        return images
+
+    def test_keypoint_selection_parity(self):
+        from straps_tpu.perception.frontend import (
+            _resize_for_test, run_detector_batched, select_keypoints,
+        )
+        from straps_tpu.perception.rcnn import normalise_image
+
+        images = self._demo_images()
+        torch.manual_seed(71)
+        twin = D2KeypointRCNNTwin()
+        randomize_bn_stats(twin, seed=72)
+        twin.eval()
+        variables = convert_d2_state(twin_state_to_d2(twin))
+        model = KeypointRCNN(post_nms_topk=POST_NMS_TOPK,
+                             max_detections=MAX_DETECTIONS, output_size=OUT)
+
+        out = run_detector_batched(model, variables, images,
+                                   test_size=IMG, chunk=len(images))
+        scale = OUT / IMG
+        checked = 0
+        for i, img in enumerate(images):
+            with torch.no_grad():
+                tout = twin(torch.from_numpy(
+                    normalise_image(_resize_for_test(img, IMG))),
+                    post_nms_topk=POST_NMS_TOPK,
+                    max_detections=MAX_DETECTIONS)
+            valid = np.asarray(out["valid"][i]).astype(bool)
+            assert valid.any() == (len(tout["boxes"]) > 0), f"image {i}"
+            if not valid.any():
+                continue
+            tb = tout["boxes"].numpy() * scale
+            ref_idx = self._ref_box_selection(tb, OUT, OUT)
+            kp = select_keypoints(out, i, OUT, OUT)
+            tkp = d2_heatmaps_to_keypoints(
+                tout["heatmaps"], torch.from_numpy(tb)).numpy()
+            d = np.abs(kp[:, :2] - tkp[ref_idx, :, :2])
+            assert np.median(d) < 0.1, f"image {i}: {np.median(d)}"
+            assert d.max() < 4.0, f"image {i}: {d.max()}"
+            checked += 1
+        assert checked >= 1, "no demo image produced a detection"
+
+    def test_silhouette_selection_parity(self):
+        from straps_tpu.perception.frontend import (
+            _resize_for_test, run_detector_batched, select_silhouette,
+        )
+        from straps_tpu.perception.rcnn import normalise_image
+
+        images = self._demo_images()
+        torch.manual_seed(81)
+        twin = D2PointRendRCNNTwin(num_classes=80)
+        randomize_bn_stats(twin, seed=82)
+        twin.eval()
+        variables = convert_d2_state(twin_state_to_d2(twin))
+        # Random 80-class scores never cross 0.05 (see above): run both
+        # sides at score_thresh=0 so the selection has instances to pick.
+        model = PointRendRCNN(post_nms_topk=POST_NMS_TOPK,
+                              max_detections=MAX_DETECTIONS, num_classes=80,
+                              output_size=OUT, score_thresh=0.0)
+
+        out = run_detector_batched(model, variables, images,
+                                   test_size=IMG, chunk=len(images))
+        scale = OUT / IMG
+        checked = 0
+        for i, img in enumerate(images):
+            with torch.no_grad():
+                tout = twin(torch.from_numpy(
+                    normalise_image(_resize_for_test(img, IMG))),
+                    post_nms_topk=POST_NMS_TOPK,
+                    max_detections=MAX_DETECTIONS, score_thresh=0.0)
+            valid = np.asarray(out["valid"][i]).astype(bool)
+            assert valid.any() == (len(tout["boxes"]) > 0), f"image {i}"
+            if not valid.any():
+                continue
+            tb = tout["boxes"].numpy() * scale
+            tmasks = np.stack([
+                d2_paste_mask(tout["refined"][k, 0],
+                              torch.from_numpy(tb[k]), OUT).numpy()
+                for k in range(len(tb))])
+            ref_idx = self._ref_mask_selection(tmasks, OUT, OUT)
+            sil, sel = select_silhouette(out, i)
+            assert sel is not None
+            agree = (sil.astype(bool) == tmasks[ref_idx].astype(bool)).mean()
+            assert agree > 0.99, f"image {i}: selected-mask agreement {agree}"
+            checked += 1
+        assert checked >= 1, "no demo image produced a detection"
+
+
 class TestDensePoseRCNN800:
     def test_e2e_production_size(self):
         """R101-FPN DensePose at the production size: boxes, the 56² part
@@ -203,10 +356,19 @@ class TestDensePoseRCNN800:
             # R101 accumulation error can flip near-tied argmax cells.
             agree = (pj[i] == pt[i]).mean()
             assert agree > 0.98, f"part map {i} agreement {agree}"
-            fg_t = d2_paste_mask(
-                torch.where(torch.from_numpy(pt[i]) > 0,
-                            torch.full((56, 56), 6.0),
-                            torch.full((56, 56), -6.0)),
-                torch.from_numpy(tb[i]), OUT).numpy()
-            magree = (mj[i] == (fg_t > 0.5)).mean()
+            # Reference paste semantics on the twin's own logits
+            # (structures.py:374-401: resize-then-argmax at the int box
+            # size, int-truncated origin) vs the device-pasted silhouette.
+            import torch.nn.functional as F
+            x1, y1, x2, y2 = [float(c) for c in tb[i]]
+            w, h = max(int(x2 - x1), 1), max(int(y2 - y1), 1)
+            with torch.no_grad():
+                s_b = F.interpolate(tout["s"][[i]], (h, w), mode="bilinear",
+                                    align_corners=False)[0].numpy()
+                i_b = F.interpolate(tout["i"][[i]], (h, w), mode="bilinear",
+                                    align_corners=False)[0].numpy()
+            canvas = np.zeros((OUT, OUT), np.int64)
+            canvas[int(y1):int(y1) + h, int(x1):int(x1) + w] = (
+                i_b.argmax(0) * (s_b.argmax(0) > 0))
+            magree = (mj[i] == (canvas > 0)).mean()
             assert magree > 0.98, f"silhouette {i} agreement {magree}"

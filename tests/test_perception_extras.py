@@ -1,6 +1,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from straps_tpu.perception.pointrend import (
     importance_sample_points, mask_point_loss, uncertainty,
@@ -185,6 +186,54 @@ class TestDensePoseExtras:
         np.testing.assert_array_equal(img[..., 0], part)
         assert img[1, 1, 1] == 255 and img[1, 1, 2] == 0
         assert img[0, 1, 1] == 127
+
+    def test_densepose_result_uint8_matches_torch(self):
+        """`densepose_result_uint8` == the reference's `_output_to_result`
+        (`DensePose/densepose/structures.py:374-401`) run verbatim in torch:
+        resize S/I/U/V to the int box size, argmax-after-resize, per-part
+        U/V select, *255 clamp-truncate to uint8.  fp-association can move a
+        value across a uint8 bin edge only at ~1e-7-wide ties, so a ±1 LSB
+        delta on <0.5% of pixels is tolerated; part labels must agree except
+        at argmax ties."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from straps_tpu.perception.densepose import densepose_result_uint8
+
+        rng = np.random.RandomState(3)
+        s = rng.randn(2, 56, 56).astype(np.float32)
+        i = rng.randn(25, 56, 56).astype(np.float32)
+        u = rng.rand(25, 56, 56).astype(np.float32)
+        v = rng.rand(25, 56, 56).astype(np.float32)
+        for box in ([12.7, 5.2, 100.4, 118.9], [30.0, 40.0, 30.5, 41.0]):
+            x1, y1, x2, y2 = box
+            h = max(int(y2 - y1), 1)
+            w = max(int(x2 - x1), 1)
+            tt = {k: torch.from_numpy(a)[None] for k, a in
+                  (("s", s), ("i", i), ("u", u), ("v", v))}
+            rs = {k: F.interpolate(t, (h, w), mode="bilinear",
+                                   align_corners=False)[0]
+                  for k, t in tt.items()}
+            part_t = (rs["i"].argmax(0) * (rs["s"].argmax(0) > 0)).numpy()
+            ref = np.zeros((h, w, 3), np.uint8)
+            ref[..., 0] = part_t
+            for pid in range(1, 25):
+                sel = part_t == pid
+                ref[..., 1][sel] = (rs["u"][pid].numpy()[sel]
+                                    * 255).clip(0, 255).astype(np.uint8)
+                ref[..., 2][sel] = (rs["v"][pid].numpy()[sel]
+                                    * 255).clip(0, 255).astype(np.uint8)
+            got = densepose_result_uint8(
+                s.transpose(1, 2, 0), i.transpose(1, 2, 0),
+                u.transpose(1, 2, 0), v.transpose(1, 2, 0),
+                np.asarray(box, np.float32))
+            assert got.shape == (h, w, 3) and got.dtype == np.uint8
+            assert (got[..., 0] == ref[..., 0]).mean() > 0.999
+            same_part = got[..., 0] == ref[..., 0]
+            duv = np.abs(got[..., 1:].astype(int) - ref[..., 1:].astype(int))
+            duv = duv[same_part]
+            assert duv.max() <= 1
+            assert (duv > 0).mean() < 0.005
 
 
 class TestRenderRgb:

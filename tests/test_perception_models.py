@@ -91,6 +91,31 @@ class TestDensePoseRCNN:
         assert out["part_index"].shape == (2, 56, 56)
         assert int(np.asarray(out["part_index"]).max()) <= 24
         assert out["masks"].shape == (2, IMG, IMG)
+        assert "part_map" not in out     # opt-in output (tunnel bytes)
+
+    def test_part_map_output(self):
+        """output_part_maps=True emits the frame label map (the reference's
+        pasted I_image); the silhouette is exactly its foreground, and it
+        survives the batched front-end's pack/unpack round trip."""
+        from straps_tpu.perception.frontend import run_detector_batched
+
+        from straps_tpu.perception.rcnn import normalise_image
+
+        model = DensePoseRCNN(post_nms_topk=TOPK, max_detections=2,
+                              output_part_maps=True)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((IMG, IMG, 3)))
+        img = np.random.RandomState(0).randint(
+            0, 255, (IMG, IMG, 3)).astype(np.uint8)
+        out = model.apply(variables, jnp.asarray(normalise_image(img)))
+        pm = np.asarray(out["part_map"])
+        assert pm.shape == (2, IMG, IMG) and pm.dtype == np.uint8
+        assert pm.max() <= 24
+        np.testing.assert_array_equal(pm > 0, np.asarray(out["masks"]))
+        bout = run_detector_batched(model, variables, [img, img], chunk=2)
+        assert bout["part_map"].shape == (2, 2, IMG, IMG)
+        np.testing.assert_array_equal(bout["part_map"] > 0, bout["masks"])
+        np.testing.assert_array_equal(bout["part_map"][0],
+                                      bout["part_map"][1])
 
 
 # NOTE: the round-1 "round-trip" converter tests that lived here were

@@ -435,7 +435,59 @@ class TestDensePoseRCNNParity:
                                       tout["part_index"].numpy())
         assert part_j.shape[-1] == 56      # HEATMAP_SIZE (14 -> 28 -> 56)
 
+    def test_paste_densepose_labels_reference_exact(self):
+        """`paste_densepose_labels` == the reference's resize-to-int-box-size
+        + argmax-after-resize + int-origin paste
+        (`DensePose/densepose/structures.py:374-401`,
+        `predict/predict_densepose.py:95-101`) run in torch as the oracle on
+        identical logits — mismatches are tolerated only at genuine float
+        ties of the resampled channel scores (separable-matmul vs
+        nested-lerp associativity)."""
+        import torch.nn.functional as F
+
+        from straps_tpu.perception.densepose import paste_densepose_labels
+
+        OUT = 128
+        rng = np.random.RandomState(11)
+        s = rng.randn(2, 56, 56).astype(np.float32)
+        ii = rng.randn(25, 56, 56).astype(np.float32)
+        boxes = np.asarray([
+            [17.3, 9.8, 93.6, 121.2],    # generic fractional box
+            [0.0, 0.0, 128.0, 128.0],    # full frame
+            [40.3, 55.0, 128.0, 127.5],  # flush to the right edge
+            [60.0, 60.0, 60.4, 83.0],    # sub-pixel width -> max(int(w), 1)
+            [20.0, 30.0, 45.0, 38.0],    # downscale on y (box h < 56)
+        ], np.float32)
+        st, it = torch.from_numpy(s), torch.from_numpy(ii)
+        for box in boxes:
+            x1, y1, x2, y2 = [float(c) for c in box]
+            w = max(int(x2 - x1), 1)
+            h = max(int(y2 - y1), 1)
+            s_b = F.interpolate(st[None], (h, w), mode="bilinear",
+                                align_corners=False)[0].numpy()
+            i_b = F.interpolate(it[None], (h, w), mode="bilinear",
+                                align_corners=False)[0].numpy()
+            labels = i_b.argmax(0) * (s_b.argmax(0) > 0)
+            canvas = np.zeros((OUT, OUT), np.int64)
+            y0, x0 = int(y1), int(x1)
+            canvas[y0:y0 + h, x0:x0 + w] = labels
+            pj = np.asarray(paste_densepose_labels(
+                jnp.asarray(s.transpose(1, 2, 0)),
+                jnp.asarray(ii.transpose(1, 2, 0)),
+                jnp.asarray(box), OUT, OUT))
+            mism = pj != canvas
+            if mism.any():
+                ys, xs = np.nonzero(mism)
+                for yy, xx in zip(ys, xs):
+                    iv = np.sort(i_b[:, yy - y0, xx - x0])
+                    sv = np.sort(s_b[:, yy - y0, xx - x0])
+                    assert (iv[-1] - iv[-2] < 1e-4
+                            or sv[-1] - sv[-2] < 1e-4), (box, yy, xx)
+                assert mism.mean() < 1e-3, box
+
     def test_end_to_end_densepose_rcnn(self, dp_setup):
+        import torch.nn.functional as F
+
         from straps_tpu.perception import DensePoseRCNN
 
         twin, variables, image, tout = dp_setup
@@ -443,7 +495,7 @@ class TestDensePoseRCNNParity:
             tout_e2e = twin(torch.from_numpy(image), post_nms_topk=TOPK,
                             max_detections=DETS)   # real 0.05 threshold
         model = DensePoseRCNN(post_nms_topk=TOPK, max_detections=DETS,
-                              backbone_depth=101)
+                              backbone_depth=101, output_part_maps=True)
         out = model.apply(variables, jnp.asarray(image))
         valid = np.asarray(out["valid"])
         assert valid.any() == (len(tout_e2e["boxes"]) > 0)
@@ -456,14 +508,24 @@ class TestDensePoseRCNNParity:
         pj = np.asarray(out["part_index"])[valid][0]
         pt = tout_e2e["part_index"].numpy()[0]
         assert (pj == pt).mean() > 0.98, (pj == pt).mean()
-        # And the pasted binary silhouette agrees.
-        mj = np.asarray(out["masks"])[valid][0] > 0.5
-        fg_t = d2_paste_mask(
-            torch.where(tout_e2e["part_index"][0] > 0,
-                        torch.full_like(tout_e2e["s"][0, 0], 6.0),
-                        torch.full_like(tout_e2e["s"][0, 0], -6.0)),
-            tout_e2e["boxes"][0], IMG).numpy()
-        assert (mj == (fg_t > 0.5)).mean() > 0.98
+        # Frame labels + silhouette: apply the REFERENCE paste semantics
+        # (resize-then-argmax at the int box size, structures.py:374-401) to
+        # the twin's own logits and compare with the device-pasted part_map —
+        # e2e tolerance covers backbone drift at part boundaries.
+        x1, y1, x2, y2 = [float(c) for c in tout_e2e["boxes"][0]]
+        w, h = max(int(x2 - x1), 1), max(int(y2 - y1), 1)
+        with torch.no_grad():
+            s_b = F.interpolate(tout_e2e["s"][[0]], (h, w), mode="bilinear",
+                                align_corners=False)[0].numpy()
+            i_b = F.interpolate(tout_e2e["i"][[0]], (h, w), mode="bilinear",
+                                align_corners=False)[0].numpy()
+        canvas = np.zeros((IMG, IMG), np.int64)
+        canvas[int(y1):int(y1) + h, int(x1):int(x1) + w] = (
+            i_b.argmax(0) * (s_b.argmax(0) > 0))
+        pm = np.asarray(out["part_map"])[valid][0]
+        assert (pm == canvas).mean() > 0.98, (pm == canvas).mean()
+        mj = np.asarray(out["masks"])[valid][0]
+        assert (mj == (canvas > 0)).mean() > 0.98
 
 
 class Test800ScaleParity:
