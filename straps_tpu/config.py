@@ -130,6 +130,15 @@ class PredictConfig:
     # 'bfloat16' runs the detector backbones at MXU rate (heads/NMS stay
     # f32).  None (default) keeps the twin-verified f32 numerics.
     detector_backbone_dtype: Optional[str] = None
+    # Static detection budgets (PARITY.md "documented deviations"): the
+    # defaults (512/8) are TPU static-shape budgets tuned for STRAPS's
+    # one-centred-person use; set 1000/100 to reproduce detectron2's
+    # POST_NMS_TOPK_TEST / DETECTIONS_PER_IMAGE on crowded scenes at the
+    # cost of one recompile and proportionally more NMS/head work.
+    detector_post_nms_topk: Optional[int] = None
+    detector_max_detections: Optional[int] = None
+    # detectron2 ROI_HEADS.SCORE_THRESH_TEST.
+    detector_score_thresh: float = 0.05
     out_dir: str = "predict_out"
     img_wh: int = 256
     smpl_dir: Optional[str] = None

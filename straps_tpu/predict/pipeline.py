@@ -179,6 +179,41 @@ def load_regressor_variables(cfg: PredictConfig, assets):
     return model, variables, mode
 
 
+def build_detector_models(cfg: PredictConfig, build_vis: bool,
+                          output_size: int):
+    """Construct the keypoint + silhouette detector models from the predict
+    config.  Detection budgets (`detector_post_nms_topk` /
+    `detector_max_detections`, e.g. 1000/100 to reproduce detectron2's
+    crowded-scene `POST_NMS_TOPK_TEST`/`DETECTIONS_PER_IMAGE`) and
+    `detector_score_thresh` override the TPU static-shape defaults baked
+    into the models (PARITY.md deviations table) at the cost of one
+    recompile."""
+    from straps_tpu.perception import (
+        KeypointRCNN, PointRendRCNN, DensePoseRCNN,
+    )
+
+    det_kw = dict(output_size=output_size,
+                  backbone_dtype=getattr(cfg, "detector_backbone_dtype",
+                                         None),
+                  score_thresh=float(
+                      getattr(cfg, "detector_score_thresh", 0.05)))
+    topk = getattr(cfg, "detector_post_nms_topk", None)
+    if topk:
+        det_kw["post_nms_topk"] = int(topk)
+    mdets = getattr(cfg, "detector_max_detections", None)
+    if mdets:
+        det_kw["max_detections"] = int(mdets)
+    kp_model = KeypointRCNN(**det_kw)
+    if cfg.silhouettes_from == "pointrend":
+        silh_model = PointRendRCNN(**det_kw)
+    else:
+        # Frame part maps only when vis is built: they are the reference's
+        # pasted I_image (`predict_densepose.py:95-101`) and cost
+        # (R, 512, 512) extra bytes per image over the tunnel link.
+        silh_model = DensePoseRCNN(output_part_maps=build_vis, **det_kw)
+    return kp_model, silh_model
+
+
 def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True,
                              heatmap_mode: str = "clean"):
     """Run the JAX detector front-end on a folder of images: pad to square,
@@ -194,8 +229,7 @@ def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True,
     import jax
 
     from straps_tpu.perception import (
-        KeypointRCNN, PointRendRCNN, DensePoseRCNN, load_d2_pkl,
-        DEFAULT_IMAGE_SIZE, DETECTOR_TEST_SIZE,
+        load_d2_pkl, DEFAULT_IMAGE_SIZE, DETECTOR_TEST_SIZE,
     )
     from straps_tpu.perception.frontend import (
         run_detector_batched, select_keypoints, select_silhouette,
@@ -210,16 +244,7 @@ def detect_and_build_proxies(cfg: PredictConfig, build_vis: bool = True,
     # back to the reference's 512 working frame (`predict_3D.py:106`).
     size = DEFAULT_IMAGE_SIZE
     test_size = DETECTOR_TEST_SIZE
-    bb_dtype = getattr(cfg, "detector_backbone_dtype", None)
-    kp_model = KeypointRCNN(output_size=size, backbone_dtype=bb_dtype)
-    if cfg.silhouettes_from == "pointrend":
-        silh_model = PointRendRCNN(output_size=size, backbone_dtype=bb_dtype)
-    else:
-        # Frame part maps only when vis is built: they are the reference's
-        # pasted I_image (`predict_densepose.py:95-101`) and cost
-        # (R, 512, 512) extra bytes per image over the tunnel link.
-        silh_model = DensePoseRCNN(output_size=size, backbone_dtype=bb_dtype,
-                                   output_part_maps=build_vis)
+    kp_model, silh_model = build_detector_models(cfg, build_vis, size)
     dummy = jnp.zeros((test_size, test_size, 3))
     kp_ckpt = getattr(cfg, "keypoint_checkpoint", None)
     silh_ckpt = getattr(cfg, "silhouette_checkpoint", None)

@@ -43,6 +43,37 @@ class TestConfig:
         assert cfg.silhouettes_from == "pointrend"
         assert cfg.input_dir == "/tmp/x"
 
+    def test_detector_budget_overrides_reach_the_models(self):
+        """detector_post_nms_topk/max_detections/score_thresh restore the
+        detectron2 crowded-scene budgets (PARITY.md deviations table)."""
+        from straps_tpu.predict.pipeline import build_detector_models
+
+        cfg = load_config(PredictConfig, None,
+                          ["silhouettes_from=pointrend",
+                           "detector_post_nms_topk=1000",
+                           "detector_max_detections=100",
+                           "detector_score_thresh=0.3"])
+        kp, silh = build_detector_models(cfg, build_vis=False,
+                                         output_size=512)
+        for m in (kp, silh):
+            assert m.post_nms_topk == 1000
+            assert m.max_detections == 100
+            assert m.score_thresh == 0.3
+            assert m.output_size == 512
+        # defaults stay on the TPU static budgets, densepose branch carries
+        # the part-map flag only when vis is on
+        cfg2 = load_config(PredictConfig, None,
+                           ["silhouettes_from=densepose"])
+        kp2, silh2 = build_detector_models(cfg2, build_vis=True,
+                                           output_size=512)
+        from straps_tpu.perception.rcnn import (
+            MAX_DETECTIONS, POST_NMS_TOPK,
+        )
+        assert kp2.post_nms_topk == POST_NMS_TOPK
+        assert kp2.max_detections == MAX_DETECTIONS
+        assert kp2.score_thresh == 0.05
+        assert silh2.output_part_maps is True
+
 
 class TestCompileCacheHelper:
     def test_clis_wire_the_cache(self, monkeypatch):
