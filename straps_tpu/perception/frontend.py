@@ -68,18 +68,89 @@ def make_apply_fn(model, variables):
     return lambda img: jitted(variables, img)
 
 
+# Pillow's 8-bit fixed-point coefficient precision (Resample.c
+# PRECISION_BITS = 32 - 8 - 2).
+_PIL_PRECISION_BITS = 22
+
+
+def _pil_axis_coeffs(in_size: int, out_size: int):
+    """Pillow `precompute_coeffs` + `normalize_coeffs_8bpc` for the
+    BILINEAR (triangle, support 1) filter: per-output-pixel tap indices
+    (out, k) and fixed-point weights quantised to 2^-22 steps after a
+    double normalisation — the exact coefficients Pillow's uint8 resample
+    uses.  Kept in tap (gather) form: a dense int matrix has no BLAS path
+    in numpy and runs at scalar speed."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = filterscale  # bilinear support 1.0 * filterscale
+    centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale
+    xmin = np.maximum((centers - support + 0.5).astype(np.int64), 0)
+    xmax = np.minimum((centers + support + 0.5).astype(np.int64), in_size)
+    ksize = int(np.ceil(support)) * 2 + 1
+    taps = xmin[:, None] + np.arange(ksize)[None, :]          # (out, k)
+    w = 1.0 - np.abs((taps + 0.5 - centers[:, None]) / filterscale)
+    w = np.where((w > 0) & (taps < xmax[:, None]), w, 0.0)
+    w = w / w.sum(axis=1, keepdims=True)
+    kk = np.where(w < 0, w * (1 << _PIL_PRECISION_BITS) - 0.5,
+                  w * (1 << _PIL_PRECISION_BITS) + 0.5).astype(np.int64)
+    # Out-of-range taps carry weight 0; clip their index to a real texel.
+    return np.minimum(taps, in_size - 1), kk
+
+
+def _pil_axis_pass(img: np.ndarray, coeffs, axis: int) -> np.ndarray:
+    """One fixed-point resample pass: int accumulate over the <=k taps,
+    +0.5 ulp rounding, >> PRECISION_BITS, clip to uint8 (Pillow
+    ImagingResampleHorizontal_8bpc semantics).  Tap products fit exactly:
+    255 * 2^22 * ksize << 2^63."""
+    taps, kk = coeffs
+    m = np.moveaxis(img, axis, 0).astype(np.int64)            # (in, ...)
+    tail = (1,) * (m.ndim - 1)
+    acc = np.full((taps.shape[0],) + m.shape[1:],
+                  1 << (_PIL_PRECISION_BITS - 1), np.int64)
+    for k in range(taps.shape[1]):                            # <= ksize taps
+        acc += m[taps[:, k]] * kk[:, k].reshape((-1,) + tail)
+    out = np.clip(acc >> _PIL_PRECISION_BITS, 0, 255).astype(np.uint8)
+    return np.moveaxis(out, 0, axis)
+
+
+def pil_bilinear_resize_u8(image: np.ndarray, out_w: int, out_h: int,
+                           allow_pil: bool = True) -> np.ndarray:
+    """Bit-exact Pillow `Image.resize((w, h), BILINEAR)` on a uint8
+    (H, W, C) array — what detectron2's ResizeShortestEdge actually
+    computes (`ResizeTransform.apply_image` -> PIL).  Uses Pillow itself
+    when importable (it IS the reference implementation, and its C loops
+    are ~10x the numpy fallback); otherwise a first-party numpy
+    reimplementation: per-axis triangle-filter coefficients normalised in
+    double and quantised to 2^-22 fixed point, horizontal pass then
+    vertical, Pillow's round-half-up and uint8 clip after EACH pass.
+    Both paths are asserted bit-identical in `TestPilExactResize`."""
+    img = np.asarray(image, np.uint8)
+    if allow_pil:
+        try:
+            from PIL import Image
+            return np.asarray(Image.fromarray(img).resize(
+                (out_w, out_h), Image.BILINEAR))
+        except ImportError:
+            pass
+    if img.shape[1] != out_w:
+        img = _pil_axis_pass(img, _pil_axis_coeffs(img.shape[1], out_w), 1)
+    if img.shape[0] != out_h:
+        img = _pil_axis_pass(img, _pil_axis_coeffs(img.shape[0], out_h), 0)
+    return img
+
+
 def _resize_for_test(image_rgb: np.ndarray, test_size) -> np.ndarray:
     """detectron2 DefaultPredictor preprocessing: ResizeShortestEdge to
     INPUT.MIN_SIZE_TEST (800) before the network — the reference feeds a
-    square image, so this is a plain square resize (bilinear; d2 uses PIL
-    bilinear, cv2 INTER_LINEAR is the close host-side equivalent)."""
+    square image, so this is a plain square resize with PIL-bilinear
+    semantics (bit-exact fixed-point reimplementation; d2 resizes via
+    PIL)."""
     if not test_size or image_rgb.shape[:2] == (test_size, test_size):
         # Both dims must match: an 800-tall non-square image fed through
         # unresized would misalign anchors/clipping on the width axis.
         return image_rgb
-    import cv2
-    return cv2.resize(np.asarray(image_rgb), (test_size, test_size),
-                      interpolation=cv2.INTER_LINEAR)
+    return pil_bilinear_resize_u8(np.asarray(image_rgb),
+                                  test_size, test_size)
 
 
 _BIT_WEIGHTS = np.asarray([128, 64, 32, 16, 8, 4, 2, 1], np.uint8)

@@ -172,9 +172,15 @@ def keypoint_decode(heatmaps: jnp.ndarray, boxes: jnp.ndarray,
 def pooled_box_features(fpn_feats: List[jnp.ndarray], boxes: jnp.ndarray,
                         output_size: int,
                         aligned: bool = True,
+                        sampling_ratio: int = 0,
                         compute_dtype: str = None) -> jnp.ndarray:
     """ROIAlign over P2-P5 with FPN level assignment (`aligned=False` =
     the legacy ROIAlign pooler type DensePose configures).
+
+    `sampling_ratio=0` (default) is detectron2's adaptive
+    POOLER_SAMPLING_RATIO default — the KP-RCNN / PointRend configs leave
+    it there for the box and keypoint poolers; DensePose pins 2
+    (`DensePose/configs/Base-DensePose-RCNN-FPN.yaml:31`).
 
     `compute_dtype='bfloat16'` pools in bf16 via the MXU einsum
     formulation and returns f32 for the heads — paired with the bf16
@@ -185,7 +191,9 @@ def pooled_box_features(fpn_feats: List[jnp.ndarray], boxes: jnp.ndarray,
         dt = jnp.dtype(compute_dtype)
         out = multilevel_roi_align([f.astype(dt) for f in fpn_feats[:4]],
                                    boxes, (4, 8, 16, 32),
-                                   output_size, aligned=aligned)
+                                   output_size, aligned=aligned,
+                                   sampling_ratio=sampling_ratio)
         return out.astype(jnp.float32)
     return multilevel_roi_align(fpn_feats[:4], boxes, (4, 8, 16, 32),
-                                output_size, aligned=aligned)
+                                output_size, aligned=aligned,
+                                sampling_ratio=sampling_ratio)

@@ -238,6 +238,33 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
     bin_w = rw / output_size
     bin_h = rh / output_size
     s = sampling_ratio
+    if s == 0:
+        # detectron2 adaptive sampling (POOLER_SAMPLING_RATIO=0): per-box
+        # ceil(roi_extent / output_size) samples per bin, evaluated as
+        # separable weight rows against the full map (the grid count is
+        # data-dependent, so there is no static per-box sample tensor).
+        if mode != "border":
+            raise ValueError("adaptive sampling is a ROIAlign (border) "
+                             "semantics; grid_sample paths use s>=1")
+        H, W, _ = features.shape
+        R, O = boxes.shape[0], output_size
+        max_grid = max(1, -(-max(H, W) // output_size))
+        gw_ext = rw if not aligned else (x2 - x1)
+        gh_ext = rh if not aligned else (y2 - y1)
+        gw = jnp.clip(jnp.ceil(gw_ext / output_size), 0, max_grid)
+        gh = jnp.clip(jnp.ceil(gh_ext / output_size), 0, max_grid)
+        ext_h = jnp.full((R,), H, jnp.int32)
+        ext_w = jnp.full((R,), W, jnp.int32)
+        ry = adaptive_axis_rows(y1, bin_h, gh, ext_h, O, H, max_grid)
+        rx = adaptive_axis_rows(x1, bin_w, gw, ext_w, O, W, max_grid)
+        prec = (None if features.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        if features.dtype == jnp.bfloat16:
+            ry = ry.astype(jnp.bfloat16)
+            rx = rx.astype(jnp.bfloat16)
+        rows = jnp.einsum("rph,hwc->rpwc", ry, features, precision=prec)
+        return jnp.einsum("rqw,rpwc->rpqc", rx, rows,
+                          precision=prec).astype(features.dtype)
     # Sample grid: for output bin (i, j), s x s points at fractions
     # (k + 0.5)/s within the bin.
     grid = (jnp.arange(output_size * s) + 0.5) / s  # in bin units
@@ -287,6 +314,14 @@ def multilevel_roi_align(features_per_level, boxes: jnp.ndarray,
     import math
 
     C = features_per_level[0].shape[-1]
+    if sampling_ratio == 0:
+        # Adaptive sampling (detectron2 POOLER_SAMPLING_RATIO=0): only the
+        # separable-rows formulation supports per-box sample counts without
+        # a (R, Q, Q, C) gather whose Q scales with the largest grid.
+        if method == "gather":
+            raise ValueError("sampling_ratio=0 (adaptive) requires the "
+                             "einsum formulation")
+        method = "einsum"
     if method == "auto":
         method = ("einsum" if features_per_level[0].dtype == jnp.bfloat16
                   else "gather")
@@ -396,6 +431,40 @@ def bilinear_axis_rows(coord: jnp.ndarray, extent: jnp.ndarray, length: int,
     return rows
 
 
+def adaptive_axis_rows(start: jnp.ndarray, bin_sz: jnp.ndarray,
+                       grid: jnp.ndarray, extent: jnp.ndarray,
+                       output_size: int, length: int, max_grid: int,
+                       offset=None, mode: str = "border") -> jnp.ndarray:
+    """Per-box ADAPTIVE-sample bilinear rows along one axis (detectron2
+    `POOLER_SAMPLING_RATIO=0`): box r takes ``grid[r]`` samples per output
+    bin at fractions (k + 0.5) / grid[r], summed and divided by
+    max(grid[r], 1) — together with the other axis this reproduces
+    torchvision's `count = max(grid_h * grid_w, 1)` average exactly
+    (boxes with grid == 0 get all-zero rows, i.e. d2's zero output for
+    degenerate aligned ROIs).
+
+    Args:
+      start: (R,) axis start in feature coords; bin_sz: (R,) bin size;
+      grid: (R,) int sample counts (<= `max_grid`, the static loop trip).
+    Returns:
+      (R, output_size, length) weight rows.
+    """
+    ph = jnp.arange(output_size, dtype=jnp.float32)[None, :]     # (1, O)
+    g = jnp.maximum(grid, 1).astype(jnp.float32)
+    R = start.shape[0]
+
+    def body(k, acc):
+        frac = (k + 0.5) / g                                     # (R,)
+        coord = start[:, None] + bin_sz[:, None] * (ph + frac[:, None])
+        rows_k = bilinear_axis_rows(coord, extent, length,
+                                    offset=offset, mode=mode)
+        w = jnp.where(k < grid, 1.0 / g, 0.0)                    # (R,)
+        return acc + rows_k * w[:, None, None]
+
+    acc0 = jnp.zeros((R, output_size, length), jnp.float32)
+    return jax.lax.fori_loop(0, max_grid, body, acc0)
+
+
 def _multilevel_roi_align_mm(features_per_level, boxes, strides,
                              output_size, canonical_level, canonical_size,
                              sampling_ratio, aligned):
@@ -436,20 +505,41 @@ def _multilevel_roi_align_mm(features_per_level, boxes, strides,
     boxes_f = boxes * scale[:, None] - shift
     x1, y1, x2, y2 = (boxes_f[:, i] for i in range(4))
     min_wh = 1e-6 if aligned else 1.0   # legacy max(roi_width, 1.) clamp
-    bin_w = jnp.maximum(x2 - x1, min_wh) / output_size
-    bin_h = jnp.maximum(y2 - y1, min_wh) / output_size
+    rw = jnp.maximum(x2 - x1, min_wh)
+    rh = jnp.maximum(y2 - y1, min_wh)
+    bin_w = rw / output_size
+    bin_h = rh / output_size
     s = sampling_ratio
-    grid = (jnp.arange(output_size * s) + 0.5) / s               # bin units
-    xs = x1[:, None] + bin_w[:, None] * grid[None, :]            # (R, Q)
-    ys = y1[:, None] + bin_h[:, None] * grid[None, :]
-
     R, O = boxes.shape[0], output_size
-    # Fold the s-sample-per-bin average into the weight rows: (R, O, axis);
-    # "border" = torchvision ROIAlign out-of-bounds semantics.
-    ry = bilinear_axis_rows(ys, Hb, Hsum, offset=off_y, mode="border")
-    ry = ry.reshape(R, O, s, Hsum).sum(axis=2) / s
-    rx = bilinear_axis_rows(xs, Wb, Wmax, mode="border")
-    rx = rx.reshape(R, O, s, Wmax).sum(axis=2) / s
+    if s == 0:
+        # detectron2's adaptive POOLER_SAMPLING_RATIO=0: per-box
+        # grid = ceil(roi_extent / output_size) samples per bin per axis
+        # (torchvision roi_align; the roi extent is the legacy-clamped one
+        # for aligned=False and the RAW one for aligned=True, where a
+        # degenerate roi gives grid 0 -> a zero output bin).  The static
+        # loop trip covers the largest grid any clipped box can need on
+        # this pyramid: boxes live in image coords, so a box's extent at
+        # its assigned level is at most the finest level's size.
+        max_grid = max(1, -(-max(hs[0], ws[0]) // output_size))
+        gw_ext = rw if not aligned else (x2 - x1)
+        gh_ext = rh if not aligned else (y2 - y1)
+        gw = jnp.clip(jnp.ceil(gw_ext / output_size), 0, max_grid)
+        gh = jnp.clip(jnp.ceil(gh_ext / output_size), 0, max_grid)
+        ry = adaptive_axis_rows(y1, bin_h, gh, Hb, O, Hsum, max_grid,
+                                offset=off_y, mode="border")
+        rx = adaptive_axis_rows(x1, bin_w, gw, Wb, O, Wmax, max_grid,
+                                mode="border")
+    else:
+        grid = (jnp.arange(output_size * s) + 0.5) / s           # bin units
+        xs = x1[:, None] + bin_w[:, None] * grid[None, :]        # (R, Q)
+        ys = y1[:, None] + bin_h[:, None] * grid[None, :]
+        # Fold the s-sample-per-bin average into the weight rows:
+        # (R, O, axis); "border" = torchvision ROIAlign out-of-bounds
+        # semantics.
+        ry = bilinear_axis_rows(ys, Hb, Hsum, offset=off_y, mode="border")
+        ry = ry.reshape(R, O, s, Hsum).sum(axis=2) / s
+        rx = bilinear_axis_rows(xs, Wb, Wmax, mode="border")
+        rx = rx.reshape(R, O, s, Wmax).sum(axis=2) / s
 
     if packed.dtype == jnp.bfloat16:
         prec = None

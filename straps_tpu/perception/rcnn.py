@@ -66,6 +66,10 @@ class DetectionTrunk(nn.Module):
     # KP/PointRend configs, legacy "ROIAlign" for DensePose
     # (`DensePose/configs/Base-DensePose-RCNN-FPN.yaml`).
     box_pooler_aligned: bool = True
+    # ROI_BOX_HEAD.POOLER_SAMPLING_RATIO: the KP/PointRend configs keep the
+    # detectron2 default 0 (adaptive ceil(roi/out) samples per bin);
+    # DensePose pins 2 (same yaml, line 31).
+    box_pooler_sampling_ratio: int = 0
     # Backbone compute dtype ('bfloat16' = MXU-rate convs; heads stay f32).
     backbone_dtype: str = None
 
@@ -90,6 +94,7 @@ class DetectionTrunk(nn.Module):
             post_nms_topk=self.post_nms_topk)
         roi = pooled_box_features(feats, proposals, 7,
                                   aligned=self.box_pooler_aligned,
+                                  sampling_ratio=self.box_pooler_sampling_ratio,
                                   compute_dtype=self.backbone_dtype)
         scores, box_deltas = BoxHead(num_classes=self.num_classes,
                                      name="box_head")(roi)
@@ -118,6 +123,8 @@ class KeypointRCNN(nn.Module):
             max_detections=self.max_detections,
             score_thresh=self.score_thresh,
             backbone_dtype=self.backbone_dtype, name="trunk")(image)
+        # ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO stays at the d2 default 0
+        # (adaptive), like the box pooler.
         kp_roi = pooled_box_features(feats, boxes, 14,
                                      compute_dtype=self.backbone_dtype)
         heatmaps = KeypointHead(name="keypoint_head")(kp_roi)
@@ -203,13 +210,16 @@ class DensePoseRCNN(nn.Module):
             max_detections=self.max_detections,
             backbone_depth=self.backbone_depth,
             box_pooler_aligned=False,
+            box_pooler_sampling_ratio=2,
             score_thresh=self.score_thresh,
             backbone_dtype=self.backbone_dtype, name="trunk")(image)
-        # POOLER_RESOLUTION=14, legacy-ROIAlign pooler type
+        # POOLER_RESOLUTION=14, legacy-ROIAlign pooler type, SAMPLING_RATIO=2
         # (`DensePose/densepose/config.py:26-27` defaults + the base yaml's
-        # POOLER_TYPE override); head keeps 14^2, predictor deconv doubles to
-        # 28^2 and the 2x bilinear reaches HEATMAP_SIZE=56.
+        # POOLER_TYPE/POOLER_SAMPLING_RATIO overrides); head keeps 14^2,
+        # predictor deconv doubles to 28^2 and the 2x bilinear reaches
+        # HEATMAP_SIZE=56.
         dp_roi = pooled_box_features(feats, boxes, 14, aligned=False,
+                                     sampling_ratio=2,
                                      compute_dtype=self.backbone_dtype)
         x = DensePoseHead(name="densepose_head")(dp_roi)
         s, i, u, v = DensePosePredictor(name="densepose_predictor")(x)

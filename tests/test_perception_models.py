@@ -227,3 +227,35 @@ class TestBf16Backbone:
             scale = float(jnp.abs(a).max()) + 1e-6
             err = float(jnp.abs(a - b).max()) / scale
             assert err < 0.05, (lvl, err)
+
+
+class TestPilExactResize:
+    """`_resize_for_test` must compute EXACTLY what detectron2's
+    ResizeShortestEdge computes — a Pillow uint8 BILINEAR resize
+    (fixed-point coefficients, per-pass rounding/clip).  Oracle: Pillow
+    itself (available in the test env; the runtime path is pure numpy)."""
+
+    def test_bit_exact_vs_pillow(self):
+        PIL_Image = pytest.importorskip("PIL.Image")
+        from straps_tpu.perception.frontend import pil_bilinear_resize_u8
+        rng = np.random.RandomState(7)
+        for (h, w), (ow, oh) in [((512, 512), (800, 800)),   # the d2 path
+                                 ((300, 400), (800, 800)),
+                                 ((512, 512), (256, 256)),   # antialias
+                                 ((37, 53), (91, 17))]:
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            ref = np.asarray(PIL_Image.fromarray(img).resize(
+                (ow, oh), PIL_Image.BILINEAR))
+            got = pil_bilinear_resize_u8(img, ow, oh, allow_pil=False)
+            np.testing.assert_array_equal(got, ref)
+
+    def test_resize_for_test_uses_pil_semantics(self):
+        PIL_Image = pytest.importorskip("PIL.Image")
+        from straps_tpu.perception.frontend import _resize_for_test
+        rng = np.random.RandomState(8)
+        img = rng.randint(0, 256, (512, 512, 3), dtype=np.uint8)
+        ref = np.asarray(PIL_Image.fromarray(img).resize(
+            (800, 800), PIL_Image.BILINEAR))
+        np.testing.assert_array_equal(_resize_for_test(img, 800), ref)
+        # identity when already at test size
+        assert _resize_for_test(img, 512) is img

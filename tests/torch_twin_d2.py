@@ -74,19 +74,34 @@ def tv_roi_align(feat, rois, output_size, spatial_scale, sampling_ratio,
     C, H, W = feat.shape[1:]
     R = rois.shape[0]
     out = torch.zeros(R, C, output_size, output_size)
-    s = sampling_ratio
-    grid = (torch.arange(output_size * s, dtype=torch.float32) + 0.5) / s
     shift = 0.5 if aligned else 0.0
     f = feat[0]
     for r in range(R):
         x1, y1, x2, y2 = (rois[r, 1:] * spatial_scale - shift)
-        rw, rh = x2 - x1, y2 - y1
+        rw_raw, rh_raw = x2 - x1, y2 - y1
         if aligned:
-            rw, rh = rw.clamp(min=1e-6), rh.clamp(min=1e-6)
+            rw, rh = rw_raw.clamp(min=1e-6), rh_raw.clamp(min=1e-6)
         else:
-            rw, rh = rw.clamp(min=1.0), rh.clamp(min=1.0)
-        xs = x1 + (rw / output_size) * grid
-        ys = y1 + (rh / output_size) * grid
+            rw, rh = rw_raw.clamp(min=1.0), rh_raw.clamp(min=1.0)
+        if sampling_ratio > 0:
+            sw = sh = sampling_ratio
+        else:
+            # Adaptive (POOLER_SAMPLING_RATIO=0): ceil(roi / out) samples
+            # per bin per axis, from the clamped roi for the legacy pooler
+            # and the RAW roi when aligned (degenerate -> 0 samples ->
+            # zero output, torchvision's `count = max(gh*gw, 1)` divide).
+            sw = int(torch.ceil((rw if not aligned else rw_raw)
+                                / output_size).clamp(min=0))
+            sh = int(torch.ceil((rh if not aligned else rh_raw)
+                                / output_size).clamp(min=0))
+            if sw == 0 or sh == 0:
+                continue
+        grid_x = (torch.arange(output_size * sw,
+                               dtype=torch.float32) + 0.5) / sw
+        grid_y = (torch.arange(output_size * sh,
+                               dtype=torch.float32) + 0.5) / sh
+        xs = x1 + (rw / output_size) * grid_x
+        ys = y1 + (rh / output_size) * grid_y
         valid_x = (xs >= -1.0) & (xs <= W)
         valid_y = (ys >= -1.0) & (ys <= H)
         xc = xs.clamp(0.0, W - 1.0)
@@ -102,7 +117,7 @@ def tv_roi_align(feat, rois, output_size, spatial_scale, sampling_ratio,
              + f[:, y1i][:, :, x0] * fy * (1 - fx)
              + f[:, y1i][:, :, x1i] * fy * fx)
         v = v * (valid_y[None, :, None] & valid_x[None, None, :])
-        v = v.view(C, output_size, s, output_size, s)
+        v = v.view(C, output_size, sh, output_size, sw)
         out[r] = v.mean(dim=(2, 4))
     return out
 
@@ -564,13 +579,20 @@ class D2KeypointRCNNTwin(nn.Module):
         logits, deltas = self.proposal_generator.rpn_head(feats)
         proposals, p_scores = d2_proposals(logits, deltas, img_size,
                                            post_nms_topk=post_nms_topk)
-        roi = d2_multilevel_roi_align(feats[:4], proposals, (4, 8, 16, 32), 7)
+        # d2 Base-RCNN-FPN leaves ROI_BOX_HEAD.POOLER_SAMPLING_RATIO at the
+        # detectron2 default 0 (adaptive).
+        roi = d2_multilevel_roi_align(feats[:4], proposals,
+                                      (4, 8, 16, 32), 7,
+                                      sampling_ratio=0)
         feats_fc = self.roi_heads.box_head(roi)
         cls = self.roi_heads.box_predictor.cls_score(feats_fc)
         bbx = self.roi_heads.box_predictor.bbox_pred(feats_fc)
         boxes, scores = d2_box_inference(cls, bbx, proposals, img_size,
                                          topk=max_detections)
-        kp_roi = d2_multilevel_roi_align(feats[:4], boxes, (4, 8, 16, 32), 14)
+        # ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO d2 default 0 (adaptive).
+        kp_roi = d2_multilevel_roi_align(feats[:4], boxes,
+                                         (4, 8, 16, 32), 14,
+                                         sampling_ratio=0)
         heatmaps = self.roi_heads.keypoint_head(kp_roi)
         return {"feats": feats, "rpn_logits": logits, "rpn_deltas": deltas,
                 "proposals": proposals, "proposal_scores": p_scores,
@@ -598,7 +620,11 @@ class D2PointRendRCNNTwin(nn.Module):
         logits, deltas = self.proposal_generator.rpn_head(feats)
         proposals, _ = d2_proposals(logits, deltas, img_size,
                                     post_nms_topk=post_nms_topk)
-        roi = d2_multilevel_roi_align(feats[:4], proposals, (4, 8, 16, 32), 7)
+        # d2 Base-RCNN-FPN leaves ROI_BOX_HEAD.POOLER_SAMPLING_RATIO at the
+        # detectron2 default 0 (adaptive).
+        roi = d2_multilevel_roi_align(feats[:4], proposals,
+                                      (4, 8, 16, 32), 7,
+                                      sampling_ratio=0)
         feats_fc = self.roi_heads.box_head(roi)
         cls = self.roi_heads.box_predictor.cls_score(feats_fc)
         bbx = self.roi_heads.box_predictor.bbox_pred(feats_fc)
