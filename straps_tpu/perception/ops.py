@@ -243,6 +243,10 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
         # ceil(roi_extent / output_size) samples per bin, evaluated as
         # separable weight rows against the full map (the grid count is
         # data-dependent, so there is no static per-box sample tensor).
+        # The static trip cap assumes in-image boxes: a box whose scaled
+        # extent exceeds the feature map (possible only for boxes larger
+        # than the image — d2 clips proposals/detections before pooling)
+        # would want a larger grid and gets max_grid samples instead.
         if mode != "border":
             raise ValueError("adaptive sampling is a ROIAlign (border) "
                              "semantics; grid_sample paths use s>=1")
