@@ -137,12 +137,16 @@ def main():
         cfg.model.compute_dtype = compute_dtype
     model, assets2, state, tx, train_step, val_step, mesh = build_training(
         cfg, assets)
-    step_fn = lambda st, k, p, s: train_step(st, k, p, s)  # noqa: E731
     t = timeit(lambda: train_step(state, key, pose, shape)[1], n=10)
     tag = f" ({compute_dtype})" if compute_dtype else ""
     print(f"full train step{tag}:        {t * 1e3:7.1f} ms")
+    # Lower the EXACT jitted program already timed (assets as arguments),
+    # not a fresh jit over the closure — that would bake the ~16 MB assets
+    # in as constants (the HTTP-413 class CLAUDE.md forbids) and pay a
+    # second, cache-missing full train-step compile just for flop counts.
     rows.append((f"full train step{tag}", t,
-                 cost_counts(jax.jit(step_fn), state, key, pose, shape)))
+                 cost_counts(train_step.jitted, state, key, pose, shape,
+                             train_step.assets_dev)))
 
     print("\nv5e roofline (XLA cost model; peaks: "
           f"{V5E_PEAK_FLOPS / 1e12:.0f} TF/s bf16 MXU, "

@@ -8,13 +8,12 @@
 import argparse
 import json
 
-from straps_tpu.config import PredictConfig
+from straps_tpu.config import PredictConfig, apply_cli_overrides
 from straps_tpu.eval_harness import load_eval_dataset, run_evaluation
 from straps_tpu.utils.profiling import enable_persistent_compile_cache
 
 
-def main(argv=None):
-    enable_persistent_compile_cache()
+def build_parser():
     parser = argparse.ArgumentParser(description="Evaluate on SSP-3D/3DPW-style npz")
     parser.add_argument("--dataset", required=True,
                         help="eval data: an SSP-3D release root (labels.npz "
@@ -47,7 +46,15 @@ def main(argv=None):
                         help="fan the eval batch out over a data mesh of "
                              "this many chips (0 = single device); "
                              "batch-size must divide by it")
-    args = parser.parse_args(argv)
+    parser.add_argument("overrides", nargs="*",
+                        help="key=value PredictConfig overrides (dotted "
+                             "paths), e.g. model.resnet_layers=50")
+    return parser
+
+
+def main(argv=None):
+    enable_persistent_compile_cache()
+    args = build_parser().parse_args(argv)
 
     mesh = None
     if args.data_parallel_devices:
@@ -56,6 +63,7 @@ def main(argv=None):
     cfg = PredictConfig(checkpoint=args.checkpoint, img_wh=args.img_wh,
                         smpl_dir=args.smpl_dir,
                         heatmap_mode=args.heatmap_mode)
+    apply_cli_overrides(cfg, args.overrides)
     dataset = load_eval_dataset(args.dataset)
     final = run_evaluation(dataset, cfg, metrics=tuple(args.metrics),
                            batch_size=args.batch_size,

@@ -6,13 +6,12 @@
 
 import argparse
 
-from straps_tpu.config import PredictConfig
+from straps_tpu.config import PredictConfig, apply_cli_overrides
 from straps_tpu.predict import predict_3d
 from straps_tpu.utils.profiling import enable_persistent_compile_cache
 
 
-def main(argv=None):
-    enable_persistent_compile_cache()
+def build_parser():
     parser = argparse.ArgumentParser(description="Predict 3D human shape/pose")
     parser.add_argument("--input", required=True,
                         help="input dir (cached proxies: *_silhouette.npy + "
@@ -43,8 +42,16 @@ def main(argv=None):
                              "predictions + cached proxies only — the "
                              "reference's save_proxy_vis/render_vis=False, "
                              "`run_predict.py:19-20`)")
-    args = parser.parse_args(argv)
+    parser.add_argument("overrides", nargs="*",
+                        help="key=value PredictConfig overrides (dotted "
+                             "paths), e.g. detector_post_nms_topk=1000 "
+                             "detector_max_detections=100 — reaches every "
+                             "config field, including the detection-budget "
+                             "knobs that have no dedicated flag")
+    return parser
 
+
+def build_config(args) -> PredictConfig:
     cfg = PredictConfig(input_dir=args.input, checkpoint=args.checkpoint,
                         silhouettes_from=args.silh_from, out_dir=args.out_dir,
                         smpl_dir=args.smpl_dir,
@@ -53,6 +60,13 @@ def main(argv=None):
                         allow_random_detectors=args.allow_random_detectors,
                         heatmap_mode=args.heatmap_mode)
     cfg.model.resnet_layers = args.resnet_layers
+    return apply_cli_overrides(cfg, args.overrides)
+
+
+def main(argv=None):
+    enable_persistent_compile_cache()
+    args = build_parser().parse_args(argv)
+    cfg = build_config(args)
     out = predict_3d(cfg, save_vis=not args.no_vis)
     print(f"predicted {len(out['names'])} images -> {args.out_dir}")
     for i, name in enumerate(out["names"]):

@@ -170,17 +170,14 @@ def _apply_overrides(obj: Any, overrides: Dict[str, Any]) -> Any:
     return obj
 
 
-def load_config(cls, yaml_path: Optional[str] = None,
-                cli_overrides: Optional[Sequence[str]] = None):
-    """Build a config: defaults <- YAML file <- 'key=value' CLI overrides."""
+def apply_cli_overrides(cfg, cli_overrides: Optional[Sequence[str]]):
+    """Apply 'dotted.key=value' CLI override strings to a config in place
+    (values parsed as Python literals, falling back to raw strings).
+    Shared by every CLI so all config fields — including ones without a
+    dedicated flag, e.g. the detection-budget knobs — stay reachable from
+    the command line."""
     import ast
 
-    cfg = cls()
-    if yaml_path:
-        import yaml
-        with open(yaml_path) as f:
-            data = yaml.safe_load(f) or {}
-        _apply_overrides(cfg, data)
     for item in cli_overrides or []:
         key, _, raw = item.partition("=")
         try:
@@ -189,3 +186,15 @@ def load_config(cls, yaml_path: Optional[str] = None,
             value = raw
         _apply_overrides(cfg, {key: value})
     return cfg
+
+
+def load_config(cls, yaml_path: Optional[str] = None,
+                cli_overrides: Optional[Sequence[str]] = None):
+    """Build a config: defaults <- YAML file <- 'key=value' CLI overrides."""
+    cfg = cls()
+    if yaml_path:
+        import yaml
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        _apply_overrides(cfg, data)
+    return apply_cli_overrides(cfg, cli_overrides)

@@ -73,12 +73,12 @@ def make_apply_fn(model, variables):
 _PIL_PRECISION_BITS = 22
 
 
-def _pil_axis_coeffs(in_size: int, out_size: int):
-    """Pillow `precompute_coeffs` + `normalize_coeffs_8bpc` for the
-    BILINEAR (triangle, support 1) filter: per-output-pixel tap indices
-    (out, k) and fixed-point weights quantised to 2^-22 steps after a
-    double normalisation — the exact coefficients Pillow's uint8 resample
-    uses.  Kept in tap (gather) form: a dense int matrix has no BLAS path
+def _pil_axis_coeffs(in_size: int, out_size: int, quantise: bool = True):
+    """Pillow `precompute_coeffs` (+ `normalize_coeffs_8bpc` when
+    `quantise`) for the BILINEAR (triangle, support 1) filter: per-output-
+    pixel tap indices (out, k) and weights — fixed-point 2^-22 steps after
+    a double normalisation for the uint8 path, raw doubles for the float
+    path.  Kept in tap (gather) form: a dense int matrix has no BLAS path
     in numpy and runs at scalar speed."""
     scale = in_size / out_size
     filterscale = max(scale, 1.0)
@@ -91,10 +91,11 @@ def _pil_axis_coeffs(in_size: int, out_size: int):
     w = 1.0 - np.abs((taps + 0.5 - centers[:, None]) / filterscale)
     w = np.where((w > 0) & (taps < xmax[:, None]), w, 0.0)
     w = w / w.sum(axis=1, keepdims=True)
-    kk = np.where(w < 0, w * (1 << _PIL_PRECISION_BITS) - 0.5,
-                  w * (1 << _PIL_PRECISION_BITS) + 0.5).astype(np.int64)
+    if quantise:
+        w = np.where(w < 0, w * (1 << _PIL_PRECISION_BITS) - 0.5,
+                     w * (1 << _PIL_PRECISION_BITS) + 0.5).astype(np.int64)
     # Out-of-range taps carry weight 0; clip their index to a real texel.
-    return np.minimum(taps, in_size - 1), kk
+    return np.minimum(taps, in_size - 1), w
 
 
 def _pil_axis_pass(img: np.ndarray, coeffs, axis: int) -> np.ndarray:
@@ -123,8 +124,16 @@ def pil_bilinear_resize_u8(image: np.ndarray, out_w: int, out_h: int,
     reimplementation: per-axis triangle-filter coefficients normalised in
     double and quantised to 2^-22 fixed point, horizontal pass then
     vertical, Pillow's round-half-up and uint8 clip after EACH pass.
-    Both paths are asserted bit-identical in `TestPilExactResize`."""
-    img = np.asarray(image, np.uint8)
+    Both paths are asserted bit-identical in `TestPilExactResize`.
+
+    uint8 input only — the fixed-point pipeline is a uint8 semantics;
+    float images go through `bilinear_resize_f32` (faithful float
+    triangle filter) via `_resize_for_test`'s dtype dispatch."""
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        raise TypeError(
+            f"pil_bilinear_resize_u8 is uint8-only (got {img.dtype}); "
+            "float images would wrap mod-256 — use bilinear_resize_f32")
     if allow_pil:
         try:
             from PIL import Image
@@ -139,18 +148,44 @@ def pil_bilinear_resize_u8(image: np.ndarray, out_w: int, out_h: int,
     return img
 
 
+def bilinear_resize_f32(image: np.ndarray, out_w: int, out_h: int
+                        ) -> np.ndarray:
+    """Pillow-semantics BILINEAR resize for float images (what PIL does
+    on mode-'F' data): the same double triangle coefficients as the uint8
+    path but unquantised, no rounding, no clip.  For already-normalised /
+    float RGB callers of the detector front-end."""
+    img = np.asarray(image, np.float64)
+    for axis, out_size in ((1, out_w), (0, out_h)):
+        if img.shape[axis] == out_size:
+            continue
+        taps, w = _pil_axis_coeffs(img.shape[axis], out_size,
+                                   quantise=False)
+        m = np.moveaxis(img, axis, 0)
+        tail = (1,) * (m.ndim - 1)
+        acc = np.zeros((taps.shape[0],) + m.shape[1:], np.float64)
+        for k in range(taps.shape[1]):
+            acc += m[taps[:, k]] * w[:, k].reshape((-1,) + tail)
+        img = np.moveaxis(acc, 0, axis)
+    return img.astype(np.asarray(image).dtype
+                      if np.issubdtype(np.asarray(image).dtype, np.floating)
+                      else np.float32)
+
+
 def _resize_for_test(image_rgb: np.ndarray, test_size) -> np.ndarray:
     """detectron2 DefaultPredictor preprocessing: ResizeShortestEdge to
     INPUT.MIN_SIZE_TEST (800) before the network — the reference feeds a
     square image, so this is a plain square resize with PIL-bilinear
-    semantics (bit-exact fixed-point reimplementation; d2 resizes via
-    PIL)."""
+    semantics (bit-exact fixed-point reimplementation for uint8 input —
+    what d2's PIL path sees; faithful float triangle filter for float
+    callers)."""
     if not test_size or image_rgb.shape[:2] == (test_size, test_size):
         # Both dims must match: an 800-tall non-square image fed through
         # unresized would misalign anchors/clipping on the width axis.
         return image_rgb
-    return pil_bilinear_resize_u8(np.asarray(image_rgb),
-                                  test_size, test_size)
+    img = np.asarray(image_rgb)
+    if img.dtype == np.uint8:
+        return pil_bilinear_resize_u8(img, test_size, test_size)
+    return bilinear_resize_f32(img, test_size, test_size)
 
 
 _BIT_WEIGHTS = np.asarray([128, 64, 32, 16, 8, 4, 2, 1], np.uint8)

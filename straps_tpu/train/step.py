@@ -125,8 +125,17 @@ def make_train_step(model, assets: SmplAssets, cfg: TrainConfig, tx,
             target_reposed=batch.target_reposed_verts)
         return new_state, loss, task_losses, per_frame
 
-    return lambda state, key, pose, shape: train_step(
-        state, key, pose, shape, assets_dev)
+    def step(state, key, pose, shape):
+        return train_step(state, key, pose, shape, assets_dev)
+
+    # Expose the underlying jitted function (assets as an ARGUMENT, the
+    # HTTP-413-safe form) so tooling — e.g. profile_stages' roofline
+    # lower()/cost_analysis — can reuse the exact compiled program instead
+    # of re-jitting this closure (which would bake assets in as constants
+    # and force a second full compile).
+    step.jitted = train_step
+    step.assets_dev = assets_dev
+    return step
 
 
 def make_val_step(model, assets: SmplAssets, cfg: TrainConfig, mesh=None):

@@ -114,3 +114,39 @@ class TestCompileCacheHelper:
             assert jax.config.jax_compilation_cache_dir == "/tmp/altcache"
         finally:
             jax.config.update("jax_compilation_cache_dir", prev)
+
+
+class TestCliOverrideReachability:
+    """Every documented config field must be reachable from the shipped
+    CLIs (PARITY.md advertises the detection-budget knobs as user-settable
+    — `detector_post_nms_topk=1000 detector_max_detections=100` restore
+    detectron2's crowded-scene budgets)."""
+
+    def test_predict_cli_reaches_detector_budget_knobs(self):
+        from straps_tpu.cli.run_predict import build_config, build_parser
+
+        args = build_parser().parse_args(
+            ["--input", "x", "detector_post_nms_topk=1000",
+             "detector_max_detections=100", "detector_score_thresh=0.7",
+             "model.resnet_layers=50"])
+        cfg = build_config(args)
+        assert cfg.detector_post_nms_topk == 1000
+        assert cfg.detector_max_detections == 100
+        assert cfg.detector_score_thresh == 0.7
+        assert cfg.model.resnet_layers == 50
+
+    def test_eval_cli_parser_accepts_overrides(self):
+        from straps_tpu.cli.run_eval import build_parser
+
+        args = build_parser().parse_args(
+            ["--dataset", "d.npz", "img_wh=512"])
+        assert args.overrides == ["img_wh=512"]
+
+    def test_apply_cli_overrides_shared_helper(self):
+        from straps_tpu.config import PredictConfig, apply_cli_overrides
+
+        cfg = apply_cli_overrides(PredictConfig(),
+                                  ["heatmap_mode=legacy",
+                                   "detector_backbone_dtype=bfloat16"])
+        assert cfg.heatmap_mode == "legacy"
+        assert cfg.detector_backbone_dtype == "bfloat16"

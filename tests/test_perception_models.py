@@ -259,3 +259,29 @@ class TestPilExactResize:
         np.testing.assert_array_equal(_resize_for_test(img, 800), ref)
         # identity when already at test size
         assert _resize_for_test(img, 512) is img
+
+    def test_uint8_path_rejects_floats(self):
+        """The fixed-point resample is a uint8 semantics; float input used
+        to wrap mod-256 silently — it must raise instead."""
+        from straps_tpu.perception.frontend import pil_bilinear_resize_u8
+        img = np.random.RandomState(0).randn(32, 32, 3).astype(np.float32)
+        with pytest.raises(TypeError, match="uint8-only"):
+            pil_bilinear_resize_u8(img, 64, 64)
+
+    def test_float_resize_matches_pil_float_mode(self):
+        """Float images dispatch to the faithful float triangle filter —
+        oracle: Pillow's own mode-'F' BILINEAR resample, per channel."""
+        PIL_Image = pytest.importorskip("PIL.Image")
+        from straps_tpu.perception.frontend import (_resize_for_test,
+                                                    bilinear_resize_f32)
+        rng = np.random.RandomState(9)
+        img = (rng.randn(160, 128, 3) * 60.0).astype(np.float32)
+        for ow, oh in [(320, 320), (64, 96)]:
+            ref = np.stack([np.asarray(
+                PIL_Image.fromarray(img[..., c], mode="F").resize(
+                    (ow, oh), PIL_Image.BILINEAR)) for c in range(3)],
+                axis=-1)
+            got = bilinear_resize_f32(img, ow, oh)
+            np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+        got = _resize_for_test(img, 320)
+        assert got.shape == (320, 320, 3) and got.dtype == np.float32
