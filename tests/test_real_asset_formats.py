@@ -77,6 +77,41 @@ def _write_real_format_smpl_pkl(path, arrs, extra_betas=2):
         pickle.dump(data, f, protocol=2)       # py2-era files
 
 
+def write_reference_additional_dir(root, arrs):
+    """Write the reference's full `additional/` asset directory layout
+    (reference `config.py:3-10`) from a synthetic-fixture array dict, every
+    file in its real on-disk format. Returns the smpl subdirectory path.
+    Shared with tests/test_parity_gate.py."""
+    import os
+
+    smpl_dir = os.path.join(str(root), "smpl")
+    os.makedirs(smpl_dir, exist_ok=True)
+    _write_real_format_smpl_pkl(
+        os.path.join(smpl_dir, "SMPL_NEUTRAL.pkl"), arrs)
+    np.save(os.path.join(str(root), "J_regressor_extra.npy"),
+            arrs["J_regressor_extra"].astype(np.float64))
+    np.save(os.path.join(str(root), "cocoplus_regressor.npy"),
+            arrs["J_regressor_cocoplus"].astype(np.float64))
+    np.save(os.path.join(str(root), "J_regressor_h36m.npy"),
+            arrs["J_regressor_h36m"].astype(np.float64))
+    np.savez(os.path.join(str(root), "neutral_smpl_mean_params_6dpose.npz"),
+             pose=np.asarray(arrs["mean_pose_6d"], np.float32),
+             shape=np.asarray(arrs["mean_shape"], np.float32))
+    # Colour-cube part assets encoding the fixture's own face_parts:
+    F = arrs["faces"].shape[0]
+    ts = 2
+    colours = (np.asarray(arrs["face_parts"], np.float64)[:, None]
+               * 10.0 + 0.5) / 100.0       # floor(100c) = 10*part
+    tex = np.zeros((1, F, ts, ts, ts, 3), np.float32)
+    tex[0, :, :, :, :, :] = colours[:, None, None, None, :]
+    np.save(os.path.join(str(root), "vertex_texture.npy"), tex)
+    cube = np.zeros((101, 101, 101), np.float64)
+    for p in range(8):
+        cube[10 * p, 10 * p, 10 * p] = p
+    np.save(os.path.join(str(root), "cube_parts.npy"), cube)
+    return smpl_dir
+
+
 class TestSmplPklFormat:
     def test_load_smpl_pkl_round_trip(self, tmp_path):
         arrs = generate_synthetic_smpl_arrays(seed=3)
@@ -106,31 +141,8 @@ class TestSmplPklFormat:
         load_assets -> smpl_forward, matching the synthetic-asset forward
         (same underlying arrays, different serialisation)."""
         arrs = generate_synthetic_smpl_arrays(seed=0)
-        root = tmp_path / "additional"
-        smpl_dir = root / "smpl"
-        smpl_dir.mkdir(parents=True)
-        _write_real_format_smpl_pkl(smpl_dir / "SMPL_NEUTRAL.pkl", arrs)
-        np.save(root / "J_regressor_extra.npy",
-                arrs["J_regressor_extra"].astype(np.float64))
-        np.save(root / "cocoplus_regressor.npy",
-                arrs["J_regressor_cocoplus"].astype(np.float64))
-        np.save(root / "J_regressor_h36m.npy",
-                arrs["J_regressor_h36m"].astype(np.float64))
-        np.savez(root / "neutral_smpl_mean_params_6dpose.npz",
-                 pose=np.asarray(arrs["mean_pose_6d"], np.float32),
-                 shape=np.asarray(arrs["mean_shape"], np.float32))
-        # Colour-cube part assets encoding the fixture's own face_parts:
-        F = arrs["faces"].shape[0]
-        ts = 2
-        colours = (np.asarray(arrs["face_parts"], np.float64)[:, None]
-                   * 10.0 + 0.5) / 100.0       # floor(100c) = 10*part
-        tex = np.zeros((1, F, ts, ts, ts, 3), np.float32)
-        tex[0, :, :, :, :, :] = colours[:, None, None, None, :]
-        np.save(root / "vertex_texture.npy", tex)
-        cube = np.zeros((101, 101, 101), np.float64)
-        for p in range(8):
-            cube[10 * p, 10 * p, 10 * p] = p
-        np.save(root / "cube_parts.npy", cube)
+        smpl_dir = write_reference_additional_dir(tmp_path / "additional",
+                                                  arrs)
 
         assets = load_assets(str(smpl_dir))
         assert not assets.is_synthetic
