@@ -104,6 +104,14 @@ def main():
         "config": f"tpu:batch={batch},dtype={dtype}; cpu:f32",
     }))
 
+    # Perf-regression gate (BENCH_BANDS.json): only the recorded serving
+    # point is banded — custom batch/dtype invocations are sweeps, not
+    # regression evidence.
+    if batch == 512 and dtype == "bfloat16":
+        from straps_tpu.utils.bands import check_band
+        if not check_band("headline_inf_per_s", tpu_ips):
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

