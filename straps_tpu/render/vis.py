@@ -25,6 +25,78 @@ PART_COLORS = np.asarray([
     [0.4, 0.8, 0.4], [0.7, 0.4, 0.8], [0.8, 0.6, 0.45],
 ], np.float32)
 
+# The reference's pyrender scene, reproduced exactly
+# (`renderers/weak_perspective_pyrender_renderer.py:50-95`): ambient light
+# (0.3, 0.3, 0.3); two white point lights, intensity 1.0, at (0, -1, 1) and
+# (0, 1, 1) in the GL world frame (camera pose = identity, mesh transformed
+# by Rx(180deg)); MetallicRoughnessMaterial with metallicFactor=0.2,
+# baseColorFactor=(0.8, 0.3, 0.3) and the pyrender default
+# roughnessFactor=1.0.  pyrender's mesh shader implements the glTF 2.0
+# metallic-roughness BRDF with punctual point lights (inverse-square
+# falloff) and writes gamma-corrected (1/2.2) output.
+LIT_AMBIENT = 0.3
+LIT_LIGHT_POSITIONS = np.asarray([[0.0, -1.0, 1.0], [0.0, 1.0, 1.0]],
+                                 np.float32)
+LIT_LIGHT_INTENSITY = 1.0
+LIT_BASE_COLOR = np.asarray([0.8, 0.3, 0.3], np.float32)
+LIT_METALLIC = 0.2
+LIT_ROUGHNESS = 1.0
+
+
+def lit_face_colors(verts: np.ndarray, faces: np.ndarray,
+                    base_color: np.ndarray = LIT_BASE_COLOR) -> np.ndarray:
+    """Per-face shaded RGB under the reference's two-point-light pyrender
+    scene -> (F, 3) in [0, 1], gamma-corrected.
+
+    Implements the glTF 2.0 metallic-roughness BRDF (pyrender's shader) with
+    the exact scene constants above, flat-shaded per face: geometric face
+    normal, face-centroid fragment position.  `verts` are model-space; the
+    reference applies Rx(180deg) before rendering
+    (`weak_perspective_pyrender_renderer.py:69-70`), i.e. the GL lighting
+    frame is (x, -y, -z) with the camera at the origin looking down -z.
+    """
+    verts = np.asarray(verts, np.float32) * np.asarray([1.0, -1.0, -1.0],
+                                                       np.float32)
+    tri = verts[np.asarray(faces)]                      # (F, 3, 3)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+    p = tri.mean(axis=1)                                # (F, 3) centroid
+    view = -p / (np.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
+    # Front-face the normals toward the viewer (only front-facing faces
+    # survive the depth test, so this matches the rendered winding).
+    n = np.where((n * view).sum(-1, keepdims=True) < 0.0, -n, n)
+
+    base = np.asarray(base_color, np.float32)
+    # glTF BRDF inputs: dielectric F0 = 0.04, lerped to base by metallic.
+    c_diff = base * (1.0 - 0.04) * (1.0 - LIT_METALLIC)
+    f0 = 0.04 * (1.0 - LIT_METALLIC) + base * LIT_METALLIC
+    alpha = LIT_ROUGHNESS ** 2
+    n_dot_v = np.clip((n * view).sum(-1, keepdims=True), 1e-3, 1.0)
+
+    color = np.full(tri.shape[:1] + (3,), LIT_AMBIENT, np.float32) * base
+    for light_pos in LIT_LIGHT_POSITIONS:
+        lvec = light_pos[None] - p
+        dist = np.linalg.norm(lvec, axis=-1, keepdims=True)
+        ldir = lvec / (dist + 1e-12)
+        # glTF punctual point light: inverse-square attenuation.
+        att = LIT_LIGHT_INTENSITY / np.maximum(dist ** 2, 1e-12)
+        n_dot_l = np.clip((n * ldir).sum(-1, keepdims=True), 1e-3, 1.0)
+        half = ldir + view
+        half /= np.linalg.norm(half, axis=-1, keepdims=True) + 1e-12
+        n_dot_h = np.clip((n * half).sum(-1, keepdims=True), 0.0, 1.0)
+        v_dot_h = np.clip((view * half).sum(-1, keepdims=True), 0.0, 1.0)
+        fresnel = f0 + (1.0 - f0) * (1.0 - v_dot_h) ** 5
+        ggx_d = alpha ** 2 / (np.pi * (n_dot_h ** 2 * (alpha ** 2 - 1.0)
+                                       + 1.0) ** 2)
+        smith_vis = 0.5 / (
+            n_dot_l * np.sqrt(n_dot_v ** 2 * (1.0 - alpha ** 2) + alpha ** 2)
+            + n_dot_v * np.sqrt(n_dot_l ** 2 * (1.0 - alpha ** 2)
+                                + alpha ** 2))
+        diffuse = (1.0 - fresnel) * c_diff / np.pi
+        specular = fresnel * ggx_d * smith_vis
+        color += att * n_dot_l * (diffuse + specular)
+    return np.clip(color, 0.0, 1.0) ** (1.0 / 2.2)
+
 
 def shade_depth(depth: np.ndarray, background: float = 1e30) -> np.ndarray:
     """Screen-space-normal lambertian shading of a depth map -> (H, W) in
@@ -45,27 +117,48 @@ def shade_depth(depth: np.ndarray, background: float = 1e30) -> np.ndarray:
 
 def render_body_vis(verts: np.ndarray, cam_wp: np.ndarray, assets,
                     img_wh: int = 512, image: Optional[np.ndarray] = None,
-                    rotate_x180: bool = False) -> np.ndarray:
+                    rotate_x180: bool = False,
+                    style: str = "lit") -> np.ndarray:
     """Shaded body render from predicted verts + weak-perspective camera,
     optionally composited over the input image (the reference's rend_vis
     output, `predict/predict_3D.py:168-176`).
 
     `rotate_x180` applies a 180-degree rotation about the x axis before
     rendering — the reference's reposed T-pose view passes angle=180,
-    axis=[1,0,0] (`predict_3D.py:172-176`)."""
+    axis=[1,0,0] (`predict_3D.py:172-176`).
+
+    `style="lit"` (default) shades with the reference pyrender scene's
+    exact two-point-light material model via `lit_face_colors`;
+    `style="parts"` keeps the body-part-coloured debug view."""
     if rotate_x180:
         verts = np.asarray(verts) * np.asarray([1.0, -1.0, -1.0], np.float32)
     cam_t = np.asarray(weak_perspective_to_camera_translation(
         jnp.asarray(cam_wp)[None], 5000.0 * img_wh / 512.0, img_wh))[0]
     K = jnp.asarray(get_intrinsics_matrix(img_wh, img_wh,
                                           5000.0 * img_wh / 512.0))
-    parts, depth = render_part_seg(
-        jnp.asarray(verts)[None], jnp.asarray(cam_t)[None], K, assets.faces,
-        assets.face_parts, img_wh, backend="xla")
-    parts_np = np.asarray(parts[0])
-    shade = shade_depth(np.asarray(depth[0]))
-    color = PART_COLORS[parts_np] * shade[..., None]
-    fg = parts_np > 0
+    if style == "lit":
+        from straps_tpu.render.raster import (
+            prepare_face_planes, project_to_screen, rasterize_xla,
+        )
+        screen, z = project_to_screen(jnp.asarray(verts)[None],
+                                      jnp.asarray(cam_t)[None], K)
+        planes = prepare_face_planes(screen, z, assets.faces).planes
+        fid, _ = rasterize_xla(planes, img_wh, img_wh)
+        fid_np = np.asarray(fid[0])
+        fg = fid_np >= 0
+        face_rgb = lit_face_colors(verts, np.asarray(assets.faces))
+        color = np.where(fg[..., None],
+                         face_rgb[np.maximum(fid_np, 0)], 0.0)
+    elif style == "parts":
+        parts, depth = render_part_seg(
+            jnp.asarray(verts)[None], jnp.asarray(cam_t)[None], K,
+            assets.faces, assets.face_parts, img_wh, backend="xla")
+        parts_np = np.asarray(parts[0])
+        shade = shade_depth(np.asarray(depth[0]))
+        color = PART_COLORS[parts_np] * shade[..., None]
+        fg = parts_np > 0
+    else:
+        raise ValueError(f"unknown style {style!r}")
     if image is not None:
         # Mesh-overlay compositing: the rendered body REPLACES the input
         # pixels where the depth buffer is valid, like the reference

@@ -66,6 +66,99 @@ class TestVis:
         assert PART_COLORS.shape == (7, 3)  # bg + 6 parts
 
 
+class TestLitShading:
+    """Oracle tests for the exact pyrender-scene lighting
+    (`weak_perspective_pyrender_renderer.py:50-95` constants)."""
+
+    def test_single_triangle_hand_computed(self):
+        # Independent scalar re-derivation of the glTF metallic-roughness
+        # shade for ONE triangle, written with plain python floats (no
+        # shared code with lit_face_colors).
+        import math
+        from straps_tpu.render.vis import lit_face_colors
+
+        # Model-space verts -> GL frame (x, -y, -z):
+        # g0=(0,0,-2) g1=(1,0,-2) g2=(0,1,-2), flat normal +z.
+        verts = np.asarray([[0.0, 0.0, 2.0], [1.0, 0.0, 2.0],
+                            [0.0, -1.0, 2.0]], np.float32)
+        faces = np.asarray([[0, 1, 2]], np.int32)
+        got = lit_face_colors(verts, faces)
+        assert got.shape == (1, 3)
+
+        # --- oracle ---
+        nx, ny, nz = 0.0, 0.0, 1.0
+        px, py, pz = 1.0 / 3.0, 1.0 / 3.0, -2.0
+        plen = math.sqrt(px * px + py * py + pz * pz)
+        vx, vy, vz = -px / plen, -py / plen, -pz / plen
+        ndv = max(nx * vx + ny * vy + nz * vz, 1e-3)
+        base = [0.8, 0.3, 0.3]
+        metallic, alpha = 0.2, 1.0   # roughness 1.0 -> alpha 1.0
+        expected = [0.3 * b for b in base]          # ambient
+        for lx, ly, lz in ((0.0, -1.0, 1.0), (0.0, 1.0, 1.0)):
+            dx, dy, dz = lx - px, ly - py, lz - pz
+            dist = math.sqrt(dx * dx + dy * dy + dz * dz)
+            ldx, ldy, ldz = dx / dist, dy / dist, dz / dist
+            att = 1.0 / dist ** 2
+            ndl = max(nx * ldx + ny * ldy + nz * ldz, 1e-3)
+            hx, hy, hz = ldx + vx, ldy + vy, ldz + vz
+            hlen = math.sqrt(hx * hx + hy * hy + hz * hz)
+            hx, hy, hz = hx / hlen, hy / hlen, hz / hlen
+            vdh = max(vx * hx + vy * hy + vz * hz, 0.0)
+            # alpha=1: D = 1/pi, Smith vis = 0.5/(ndl+ndv).
+            d_term = 1.0 / math.pi
+            vis = 0.5 / (ndl + ndv)
+            for c in range(3):
+                f0 = 0.04 * (1 - metallic) + base[c] * metallic
+                fr = f0 + (1 - f0) * (1 - vdh) ** 5
+                cd = base[c] * 0.96 * (1 - metallic)
+                expected[c] += att * ndl * ((1 - fr) * cd / math.pi
+                                            + fr * d_term * vis)
+        expected = [min(max(e, 0.0), 1.0) ** (1 / 2.2) for e in expected]
+        np.testing.assert_allclose(got[0], expected, rtol=1e-5)
+
+    def test_symmetric_lights_symmetric_shade(self):
+        # The two lights are mirrored in y; a y-mirrored triangle pair must
+        # shade identically.
+        from straps_tpu.render.vis import lit_face_colors
+        v = np.asarray([[0.0, 0.1, 2.0], [1.0, 0.2, 2.0], [0.0, 0.9, 2.0]],
+                       np.float32)
+        v_mirror = v * np.asarray([1.0, -1.0, 1.0], np.float32)
+        verts = np.concatenate([v, v_mirror], axis=0)
+        faces = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+        c = lit_face_colors(verts, faces)
+        np.testing.assert_allclose(c[0], c[1], rtol=1e-5)
+
+    def test_full_mesh_range_and_red_dominant(self):
+        from straps_tpu.render.vis import lit_face_colors
+        assets = load_synthetic_assets()
+        c = lit_face_colors(np.asarray(assets.v_template) +
+                            np.asarray([0.0, 0.0, 2.5], np.float32),
+                            np.asarray(assets.faces))
+        assert c.shape == (assets.faces.shape[0], 3)
+        assert c.min() >= 0.0 and c.max() <= 1.0
+        # base colour (0.8, 0.3, 0.3): red channel dominates everywhere
+        assert (c[:, 0] >= c[:, 1] - 1e-6).all()
+        # ambient floor: nothing is fully black
+        assert c.min() > 0.05
+
+    def test_render_body_vis_lit_vs_parts_styles(self):
+        assets = load_synthetic_assets()
+        cam = np.asarray([0.9, 0.0, 0.0], np.float32)
+        lit = render_body_vis(np.asarray(assets.v_template), cam, assets,
+                              img_wh=64, style="lit")
+        parts = render_body_vis(np.asarray(assets.v_template), cam, assets,
+                                img_wh=64, style="parts")
+        assert lit.shape == parts.shape == (64, 64, 3)
+        # lit body: red-dominant pixels somewhere
+        fg = (lit < 250).any(-1)
+        assert fg.any()
+        assert (lit[fg][:, 0].astype(int) >=
+                lit[fg][:, 1].astype(int) - 1).all()
+        with pytest.raises(ValueError):
+            render_body_vis(np.asarray(assets.v_template), cam, assets,
+                            img_wh=64, style="nope")
+
+
 class TestDetectorVis:
     def test_keypoints_vis_draws(self):
         from straps_tpu.render.vis import keypoints_vis
