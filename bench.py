@@ -5,14 +5,17 @@ Prints ONE JSON line:
 
 Headline metric (BASELINE.json): proxy-representation -> SMPL inferences/sec
 on one chip (flagship ResNet-18 + IEF x3 + full SMPL forward, 256x256x18
-input).  Default config is the fastest measured serving point — batch 512,
-bf16 encoder compute (f32 SMPL math) — from the v5e sweep
-{f32@256: 11372, f32@512: 10976, bf16@512: 11815 inf/s}; override with
-`python bench.py [batch] [compute_dtype]`.  `vs_baseline` is the ratio
-against the same jitted pipeline (f32) on one host CPU — the stand-in for
-the reference's CPU path, since the torch reference cannot run here
-(licensed SMPL assets + checkpoints are absent; BASELINE.json configs[0]
-names the CPU reference).
+input).  Default config is the fastest measured serving point — batch 1024,
+bf16 encoder compute (f32 SMPL math), bf16 INPUT (the proxy is a binary
+mask stack, so the cast is value-exact and halves the stem's HBM read) —
+from the round-5 `benchmarks/headline_sweep.py` roofline sweep on v5e:
+{f32@512: 10903, bf16@512: 11749, bf16-in@512: 13502, bf16-in@1024: 13721
+inf/s; 2048 OOMs; input donation loses}.  Override with
+`python bench.py [batch] [compute_dtype] [input_dtype]`.  `vs_baseline` is
+the ratio against the same jitted pipeline (f32) on one host CPU — the
+stand-in for the reference's CPU path, since the torch reference cannot run
+here (licensed SMPL assets + checkpoints are absent; BASELINE.json
+configs[0] names the CPU reference).
 """
 
 import json
@@ -71,14 +74,18 @@ def main():
     # 1-core host and dominates bench wall time without it.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    input_dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
     rng = np.random.RandomState(0)
-    proxy_np = (rng.rand(batch, 256, 256, 18) < 0.02).astype(np.float32)
+    proxy_np = (rng.rand(batch, 256, 256, 18) < 0.02).astype(np.uint8)
 
     tpu_dev = jax.devices()[0]
     fn_tpu = build_forward(tpu_dev, compute_dtype=dtype)
+    # Upload the binary proxy as uint8 (4x less tunnel traffic) and cast to
+    # the serving input dtype ON DEVICE — value-exact for a mask stack.
     proxy_tpu = jax.device_put(jnp.asarray(proxy_np), tpu_dev)
+    proxy_tpu = jax.jit(lambda x: x.astype(input_dtype))(proxy_tpu)
     tpu_ips = throughput(fn_tpu, proxy_tpu, iters=30, batch=batch)
 
     try:
@@ -87,7 +94,8 @@ def main():
         cpu_batch = min(4, batch)
         cpu_dev = jax.devices("cpu")[0]
         fn_cpu = build_forward(cpu_dev)
-        proxy_cpu = jax.device_put(jnp.asarray(proxy_np[:cpu_batch]), cpu_dev)
+        proxy_cpu = jax.device_put(
+            jnp.asarray(proxy_np[:cpu_batch].astype(np.float32)), cpu_dev)
         cpu_ips = throughput(fn_cpu, proxy_cpu, iters=1, batch=cpu_batch)
     except Exception:
         cpu_ips = float("nan")
@@ -99,15 +107,17 @@ def main():
         "unit": "inferences/sec",
         "vs_baseline": round(vs_baseline, 2),
         # The TPU leg runs the requested compute dtype (default bf16 encoder,
-        # f32 SMPL math); the CPU baseline leg is always f32 — the ratio is
-        # deliberately best-serving-point vs reference-precision CPU.
-        "config": f"tpu:batch={batch},dtype={dtype}; cpu:f32",
+        # f32 SMPL math) on the requested input dtype; the CPU baseline leg
+        # is always f32 — the ratio is deliberately best-serving-point vs
+        # reference-precision CPU.
+        "config": (f"tpu:batch={batch},dtype={dtype},input={input_dtype}; "
+                   "cpu:f32"),
     }))
 
     # Perf-regression gate (BENCH_BANDS.json): only the recorded serving
     # point is banded — custom batch/dtype invocations are sweeps, not
     # regression evidence.
-    if batch == 512 and dtype == "bfloat16":
+    if batch == 1024 and dtype == "bfloat16" and input_dtype == "bfloat16":
         from straps_tpu.utils.bands import check_band
         if not check_band("headline_inf_per_s", tpu_ips):
             sys.exit(1)
