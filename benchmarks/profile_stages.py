@@ -118,8 +118,12 @@ def main():
     K = jnp.asarray(get_intrinsics_matrix(256, 256, 5000.0))
     verts = smpl_fn(shape).vertices
     cam_t = jnp.tile(jnp.asarray([[0.0, 0.2, 42.0]]), (batch, 1))
+    # cull_backfaces matches the production training render
+    # (train/synthetic.py): bit-identical parts, -8.6% time (KERNEL_NOTES
+    # round 5).
     rend_fn = jax.jit(lambda v, t_: render_part_seg(
-        v, t_, K, assets.faces, assets.face_parts, 256, backend="pallas"))
+        v, t_, K, assets.faces, assets.face_parts, 256, backend="pallas",
+        cull_backfaces=True))
     t = timeit(rend_fn, verts, cam_t)
     print(f"pallas render:          {t * 1e3:7.1f} ms")
     rows.append(("pallas render", t, cost_counts(rend_fn, verts, cam_t)))

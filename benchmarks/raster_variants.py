@@ -403,6 +403,27 @@ def main():
                planes, bounds)
     print(f"{'attr packed (committed)':28s} {t:7.1f} ms")
 
+    # Backface culling A/B (VERDICT r5 stretch): same committed kernel, but
+    # back faces killed and excluded from the row bounds — wins only as much
+    # as the per-chunk bands actually shrink.
+    if not only or "cull" in only:
+        from straps_tpu.render.raster import backface_mask, kill_faces
+        dead = backface_mask(screen, assets.faces)
+        planes_c = kill_faces(planes, dead)
+        bounds_c = face_chunk_row_bounds(screen, assets.faces, FACE_CHUNK,
+                                         256, dead_mask=dead)
+        span = lambda b: float(np.maximum(  # noqa: E731
+            np.asarray(b[..., 1]) - np.asarray(b[..., 0]), 0).mean())
+        pc, _ = rasterize_pallas(planes_c, bounds_c, 256, 256,
+                                 face_attr=assets.face_parts)
+        agree = float((np.asarray(pc) == np.asarray(ref_parts)).mean())
+        t = timeit(lambda p, b: rasterize_pallas(
+            p, b, 256, 256, face_attr=assets.face_parts), planes_c, bounds_c)
+        print(f"{'attr packed + backface cull':28s} {t:7.1f} ms   "
+              f"parts agreement {agree:.5f}  "
+              f"(dead {float(np.asarray(dead).mean()):.2f}, band rows "
+              f"{span(bounds):.1f} -> {span(bounds_c):.1f})")
+
     bounds256 = face_chunk_row_bounds(screen, assets.faces, 256, 256)
     packed_variants = {
         "packed": dict(),

@@ -135,14 +135,46 @@ def sort_faces_by_ymin(planes: jnp.ndarray, screen_xy: jnp.ndarray,
     return sorted_planes, order
 
 
+def backface_mask(screen_xy: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """(B, F) bool: True where the face is BACK-facing in screen space.
+
+    SMPL faces wind counter-clockwise viewed from outside; under the
+    y-down pixel projection an outward (camera-facing) face therefore has
+    positive signed area, so `area < 0` is the back side.  On a watertight
+    mesh every visible pixel's nearest face is front-facing, so killing
+    back faces leaves the rendered output unchanged
+    (`tests/test_render.py::TestBackfaceCull` asserts this) while letting
+    the rasteriser skip all-backface chunks via their row bounds."""
+    v = screen_xy[:, faces, :]
+    x0, y0 = v[..., 0, 0], v[..., 0, 1]
+    x1, y1 = v[..., 1, 0], v[..., 1, 1]
+    x2, y2 = v[..., 2, 0], v[..., 2, 1]
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    return area < 0.0
+
+
+def kill_faces(planes: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Make masked faces never-covered (edge consts -1), keeping shapes
+    static — the culling idiom of `prepare_face_planes`."""
+    kill = jnp.zeros((4, 3), planes.dtype).at[:3, 2].set(-1.0)
+    return jnp.where(mask[..., None, None],
+                     jnp.broadcast_to(kill, planes.shape), planes)
+
+
 def face_chunk_row_bounds(screen_xy: jnp.ndarray, faces: jnp.ndarray,
-                          chunk: int, img_h: int) -> jnp.ndarray:
+                          chunk: int, img_h: int,
+                          dead_mask: Optional[jnp.ndarray] = None
+                          ) -> jnp.ndarray:
     """Per-face-chunk [ymin, ymax] row bounds for culling.
 
     Returns (B, num_chunks, 2) int32; chunks whose bound range misses a pixel
     row block can be skipped entirely by the rasteriser.  (For a sorted face
     order, pass screen_xy/faces reordered the same way — the removed
     `..._from_planes` variant was an unused near-duplicate.)
+
+    `dead_mask` (B, F) marks faces already killed in the plane array (e.g.
+    back faces): they are excluded from the bounds so chunks of dead faces
+    collapse to an empty band and are skipped by the kernel.
     """
     vy = screen_xy[:, faces, 1]                  # (B, F, 3)
     fymin = jnp.min(vy, axis=-1)
@@ -152,6 +184,9 @@ def face_chunk_row_bounds(screen_xy: jnp.ndarray, faces: jnp.ndarray,
     # chunk including its valid faces.  Degenerate bounds exclude just it.
     fymin = jnp.where(jnp.isnan(fymin), np.inf, fymin)
     fymax = jnp.where(jnp.isnan(fymax), -np.inf, fymax)
+    if dead_mask is not None:
+        fymin = jnp.where(dead_mask, np.inf, fymin)
+        fymax = jnp.where(dead_mask, -np.inf, fymax)
     B, F = fymin.shape
     pad = (-F) % chunk
     if pad:

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from straps_tpu.render.raster import (
     project_to_screen, prepare_face_planes, face_chunk_row_bounds,
-    rasterize_xla, face_ids_to_parts,
+    rasterize_xla, face_ids_to_parts, backface_mask, kill_faces,
 )
 from straps_tpu.render.pallas_raster import rasterize_pallas, FACE_CHUNK
 
@@ -21,7 +21,9 @@ def render_part_seg(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
                     faces: jnp.ndarray, face_parts: jnp.ndarray, img_wh: int,
                     cam_R: Optional[jnp.ndarray] = None,
                     backend: str = "pallas",
-                    interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    interpret: bool = False,
+                    cull_backfaces: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render a batch of meshes to part-id maps.
 
     Args:
@@ -33,19 +35,27 @@ def render_part_seg(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
       img_wh: square output size.
       backend: "pallas" (TPU kernel) or "xla" (portable scan).
       interpret: Pallas interpreter mode (CPU testing).
+      cull_backfaces: kill back-facing faces and drop them from the chunk
+        row bounds — output-identical on the watertight SMPL mesh (see
+        `backface_mask`), lets the kernel skip all-backface chunks.
     Returns:
       parts: (B, img_wh, img_wh) int32 part map (0 = background).
       depth: (B, img_wh, img_wh) f32 view depth (+big where background).
     """
     screen, z = project_to_screen(verts, cam_t, cam_K, cam_R)
     planes = prepare_face_planes(screen, z, faces).planes
+    dead = None
+    if cull_backfaces:
+        dead = backface_mask(screen, faces)
+        planes = kill_faces(planes, dead)
     if backend == "pallas":
         # Chunk y-bound culling relies on the mesh's spatial coherence
         # (neighbouring faces share vertices, so original-order chunks span
         # narrow y ranges).  A runtime ymin argsort would tighten bounds
         # further but jnp.argsort at this shape faults the axon v5e runtime;
         # `sort_faces_by_ymin` is kept for future use.
-        bounds = face_chunk_row_bounds(screen, faces, FACE_CHUNK, img_wh)
+        bounds = face_chunk_row_bounds(screen, faces, FACE_CHUNK, img_wh,
+                                       dead_mask=dead)
         # Body-part lookup happens INSIDE the kernel (face_attr): the
         # post-kernel XLA gather at (B, H, W) measured 67 ms at B=140 —
         # as much as the rasterisation itself.
@@ -89,10 +99,12 @@ def render_rgb(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
 
 
 def render_silhouette(verts, cam_t, cam_K, faces, img_wh,
-                      cam_R=None, backend="pallas", interpret=False):
+                      cam_R=None, backend="pallas", interpret=False,
+                      cull_backfaces=False):
     """Binary silhouette render (part map != 0)."""
     ones = jnp.ones((faces.shape[0],), jnp.int32)
     parts, depth = render_part_seg(verts, cam_t, cam_K, faces, ones, img_wh,
                                    cam_R=cam_R, backend=backend,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   cull_backfaces=cull_backfaces)
     return (parts > 0).astype(jnp.float32), depth

@@ -103,10 +103,16 @@ def generate_synthetic_batch(key, pose: jnp.ndarray, shape: jnp.ndarray,
             keys[2], out.vertices,
             delta_range=cfg.proxy_augment.delta_verts2d_dev_range)
 
+    # cull_backfaces: the depth output is discarded here, and the part map
+    # is bit-identical with back faces culled (watertight mesh —
+    # TestBackfaceCull; 1.0 agreement at B=140 on v5e), so the kernel skips
+    # all-backface chunk bands for free (-8.6% raster time, KERNEL_NOTES
+    # round 5).
     parts, _ = render_part_seg(verts_render, cam_t, cam_K, assets.faces,
                                assets.face_parts, img_wh,
                                backend=cfg.render.backend,
-                               interpret=cfg.render.interpret)
+                               interpret=cfg.render.interpret,
+                               cull_backfaces=True)
     parts = parts.astype(jnp.float32)
 
     if cfg.bbox_augment.crop_input:

@@ -215,6 +215,66 @@ class TestSortedPallasRender:
         assert mismatch < 0.002, mismatch
 
 
+class TestBackfaceCull:
+    """Culling back faces must not change the rendered output on the
+    watertight SMPL mesh (the nearest face at every covered pixel is
+    front-facing); it only empties the row bands of all-backface chunks."""
+
+    def _scene(self, pose_seed=None):
+        from straps_tpu.smpl import smpl_forward
+        assets = load_synthetic_assets()
+        if pose_seed is None:
+            verts = assets.v_template[None]
+        else:
+            rng = np.random.RandomState(pose_seed)
+            import jax
+            from straps_tpu.geometry import rodrigues
+            aa = jnp.asarray(rng.randn(1, 23, 3).astype(np.float32) * 0.3)
+            glob = jnp.asarray(rng.randn(1, 1, 3).astype(np.float32) * 0.5)
+            verts = smpl_forward(assets, jnp.zeros((1, 10)),
+                                 rodrigues(aa), rodrigues(glob)).vertices
+        cam_t = jnp.asarray(np.array([[0.0, 0.2, 42.0]], np.float32))
+        K = jnp.asarray(get_intrinsics_matrix(64, 64, 1250.0))
+        return assets, verts, cam_t, K
+
+    def test_mask_kills_roughly_half(self):
+        from straps_tpu.render.raster import backface_mask
+        assets, verts, cam_t, K = self._scene()
+        screen, _ = project_to_screen(verts, cam_t, K)
+        frac = float(np.asarray(backface_mask(screen, assets.faces)).mean())
+        assert 0.3 < frac < 0.7, frac
+
+    @pytest.mark.parametrize("pose_seed", [None, 7])
+    def test_xla_output_unchanged(self, pose_seed):
+        assets, verts, cam_t, K = self._scene(pose_seed)
+        base, d0 = render_part_seg(verts, cam_t, K, assets.faces,
+                                   assets.face_parts, 64, backend="xla")
+        cull, d1 = render_part_seg(verts, cam_t, K, assets.faces,
+                                   assets.face_parts, 64, backend="xla",
+                                   cull_backfaces=True)
+        base, cull = np.asarray(base), np.asarray(cull)
+        assert (base > 0).mean() > 0.02          # non-trivial scene
+        mismatch = (base != cull).mean()
+        assert mismatch < 0.001, mismatch        # edge pixels only
+        # Depth can differ ONLY at self-intersection pixels, where a back
+        # face of another body part is nearest (posed meshes); part ids
+        # still agree there because the front surface behind it wins both
+        # ways.  Bound that fraction tightly.
+        both = (base > 0) & (cull > 0)
+        dd = np.abs(np.asarray(d0)[both] - np.asarray(d1)[both])
+        assert (dd > 1e-4).mean() < 0.01, (dd > 1e-4).mean()
+
+    def test_pallas_interpret_matches_xla_uncull(self):
+        assets, verts, cam_t, K = self._scene()
+        ref, _ = render_part_seg(verts, cam_t, K, assets.faces,
+                                 assets.face_parts, 64, backend="xla")
+        p, _ = render_part_seg(verts, cam_t, K, assets.faces,
+                               assets.face_parts, 64, backend="pallas",
+                               interpret=True, cull_backfaces=True)
+        mismatch = (np.asarray(ref) != np.asarray(p)).mean()
+        assert mismatch < 0.002, mismatch
+
+
 class TestPartsDecode:
     def test_face_ids_to_parts(self):
         fid = jnp.asarray(np.array([[-1, 0], [1, 2]], np.int32))
