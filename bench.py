@@ -6,11 +6,12 @@ Prints ONE JSON line:
 Headline metric (BASELINE.json): proxy-representation -> SMPL inferences/sec
 on one chip (flagship ResNet-18 + IEF x3 + full SMPL forward, 256x256x18
 input).  Default config is the fastest measured serving point — batch 1024,
-bf16 encoder compute (f32 SMPL math), bf16 INPUT (the proxy is a binary
-mask stack, so the cast is value-exact and halves the stem's HBM read) —
-from the round-5 `benchmarks/headline_sweep.py` roofline sweep on v5e:
-{f32@512: 10903, bf16@512: 11749, bf16-in@512: 13502, bf16-in@1024: 13721
-inf/s; 2048 OOMs; input donation loses}.  Override with
+bf16 encoder compute (f32 SMPL math), UINT8 INPUT (the proxy is a binary
+mask stack, so the integer input is value-exact and quarters the stem's
+HBM read vs f32) — from the round-5 `benchmarks/headline_sweep.py`
+roofline sweep on v5e: {f32@512: 10903, bf16@512: 11749, bf16-in@1024:
+13721, u8-in@512: 14203, u8-in@1024: 14438 inf/s; bf16-in@1536 regresses;
+2048 OOMs; input donation loses}.  Override with
 `python bench.py [batch] [compute_dtype] [input_dtype]`.  `vs_baseline` is
 the ratio against the same jitted pipeline (f32) on one host CPU — the
 stand-in for the reference's CPU path, since the torch reference cannot run
@@ -76,7 +77,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    input_dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+    input_dtype = sys.argv[3] if len(sys.argv) > 3 else "uint8"
     rng = np.random.RandomState(0)
     proxy_np = (rng.rand(batch, 256, 256, 18) < 0.02).astype(np.uint8)
 
@@ -117,7 +118,7 @@ def main():
     # Perf-regression gate (BENCH_BANDS.json): only the recorded serving
     # point is banded — custom batch/dtype invocations are sweeps, not
     # regression evidence.
-    if batch == 1024 and dtype == "bfloat16" and input_dtype == "bfloat16":
+    if batch == 1024 and dtype == "bfloat16" and input_dtype == "uint8":
         from straps_tpu.utils.bands import check_band
         if not check_band("headline_inf_per_s", tpu_ips):
             sys.exit(1)
