@@ -6,12 +6,21 @@ Prints ONE JSON line:
 Headline metric (BASELINE.json): proxy-representation -> SMPL inferences/sec
 on one chip (flagship ResNet-18 + IEF x3 + full SMPL forward, 256x256x18
 input).  Default config is the fastest measured serving point — batch 1024,
-bf16 encoder compute (f32 SMPL math), UINT8 INPUT (the proxy is a binary
-mask stack, so the integer input is value-exact and quarters the stem's
-HBM read vs f32) — from the round-5 `benchmarks/headline_sweep.py`
-roofline sweep on v5e: {f32@512: 10903, bf16@512: 11749, bf16-in@1024:
-13721, u8-in@512: 14203, u8-in@1024: 14438 inf/s; bf16-in@1536 regresses;
-2048 OOMs; input donation loses}.  Override with
+bf16 encoder compute (f32 SMPL math), UINT8 INPUT — from the round-5
+`benchmarks/headline_sweep.py` roofline sweep on v5e: {f32@512: 10903,
+bf16@512: 11749, bf16-in@1024: 13721, u8-in@512: 14203, u8-in@1024: 14438
+inf/s; bf16-in@1536 regresses; 2048 OOMs; input donation loses}.
+
+On input dtype honesty: this benchmark's proxy is all-binary (as in every
+prior round), so uint8 is VALUE-EXACT here and quarters the stem's HBM
+read vs f32.  The production predict proxy
+(`predict/proxy.py::silhouette_joints_to_proxy`) has a binary silhouette
+channel but CONTINUOUS gaussian heatmap channels
+(`label_conversions.py:58` in the reference), so the production path
+keeps f32 inputs for parity; bf16 input (+15%, ~0.4% relative rounding
+on heatmap values) is the near-lossless fast serving option there.
+
+Override with
 `python bench.py [batch] [compute_dtype] [input_dtype]`.  `vs_baseline` is
 the ratio against the same jitted pipeline (f32) on one host CPU — the
 stand-in for the reference's CPU path, since the torch reference cannot run
