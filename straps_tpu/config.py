@@ -130,6 +130,11 @@ class PredictConfig:
     # 'bfloat16' runs the detector backbones at MXU rate (heads/NMS stay
     # f32).  None (default) keeps the twin-verified f32 numerics.
     detector_backbone_dtype: Optional[str] = None
+    # 'bfloat16' casts the proxy on device before the regressor encoder —
+    # the serving fast path (~+15% throughput, docs/ROOFLINE.md) at ~0.4%
+    # relative rounding on gaussian heatmap channels (binary channels
+    # exact).  None (default) keeps f32 parity semantics.
+    proxy_input_dtype: Optional[str] = None
     # Static detection budgets (PARITY.md "documented deviations"): the
     # defaults (512/8) are TPU static-shape budgets tuned for STRAPS's
     # one-centred-person use; set 1000/100 to reproduce detectron2's

@@ -24,7 +24,8 @@ from straps_tpu.smpl import load_assets, smpl_forward
 from straps_tpu.train.synthetic import select_joint_sets
 
 
-def make_predict_fn(model, variables, assets, img_wh: int, mesh=None):
+def make_predict_fn(model, variables, assets, img_wh: int, mesh=None,
+                    input_dtype=None):
     """Jitted proxy -> prediction rollout.
 
     Weights and body-model assets enter as jit arguments (closed-over arrays
@@ -35,7 +36,13 @@ def make_predict_fn(model, variables, assets, img_wh: int, mesh=None):
     proxy batch is sharded over its `data` axis and weights/assets are
     replicated, so prediction/eval fan out across chips exactly like the
     train step (SURVEY.md §2.5: the mesh abstraction serves eval/predict
-    too).  Batch size must be divisible by the mesh size."""
+    too).  Batch size must be divisible by the mesh size.
+
+    `input_dtype`: optional on-device cast of the proxy before the encoder
+    — the serving fast path (docs/ROOFLINE.md): 'bfloat16' buys ~+15%
+    throughput at ~0.4% relative rounding on the gaussian heatmap
+    channels (binary channels are exact).  Default None keeps f32 parity
+    semantics."""
     if mesh is not None:
         from straps_tpu.parallel import replicate, shard_batch
         variables = replicate(variables, mesh)
@@ -43,6 +50,8 @@ def make_predict_fn(model, variables, assets, img_wh: int, mesh=None):
 
     @jax.jit
     def _predict(variables, assets, proxies):
+        if input_dtype is not None:
+            proxies = proxies.astype(input_dtype)
         cam, pose6d, shape = model.apply(variables, proxies, train=False)
         B = cam.shape[0]
         rotmats = rot6d_to_rotmat(pose6d.reshape(B, 24, 6))
@@ -393,7 +402,9 @@ def predict_3d(cfg: PredictConfig, save_vis: bool = True) -> Dict[str, np.ndarra
     else:
         names, proxies, vis = detect_and_build_proxies(
             cfg, build_vis=save_vis, heatmap_mode=heatmap_mode)
-    predict = make_predict_fn(model, variables, assets, cfg.img_wh)
+    predict = make_predict_fn(model, variables, assets, cfg.img_wh,
+                              input_dtype=getattr(cfg, "proxy_input_dtype",
+                                                  None))
     out = predict(proxies)
     # ONE host transfer for every output (CLAUDE.md rule: per-key
     # np.asarray costs a device round trip each on tunneled TPUs).

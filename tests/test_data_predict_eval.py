@@ -417,6 +417,38 @@ class TestPredictMeshFanout:
                                        np.asarray(single[k]),
                                        atol=5e-5, rtol=1e-4)
 
+    def test_predict_input_dtype_fast_path(self):
+        """`input_dtype='bfloat16'` (the serving fast path, ROOFLINE.md)
+        casts the proxy on device; outputs must track the f32 path within
+        bf16 rounding — and be EXACT on an all-binary proxy with a
+        bf16-exact weight set is not required, just closeness."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from straps_tpu.predict.pipeline import make_predict_fn
+        from straps_tpu.models import build_regressor
+        from straps_tpu.smpl import load_synthetic_assets
+
+        assets = load_synthetic_assets()
+        model = build_regressor(assets.mean_pose_6d, assets.mean_shape)
+        rng = np.random.RandomState(1)
+        # Gaussian-heatmap-like continuous channels, binary silhouette.
+        proxy_np = rng.rand(4, 64, 64, 18).astype(np.float32)
+        proxy_np[..., 0] = (proxy_np[..., 0] < 0.1)
+        proxy = jnp.asarray(proxy_np)
+        variables = model.init(jax.random.PRNGKey(0), proxy[:1], train=False)
+
+        f32 = make_predict_fn(model, variables, assets, 64)(proxy)
+        fast = make_predict_fn(model, variables, assets, 64,
+                               input_dtype="bfloat16")(proxy)
+        assert fast["verts"].dtype == jnp.float32
+        scale = float(jnp.abs(f32["verts"]).max())
+        err = float(jnp.abs(f32["verts"] - fast["verts"]).max()) / scale
+        assert err < 0.05, err
+        # Config knob plumbs through PredictConfig.
+        from straps_tpu.config import PredictConfig
+        assert PredictConfig().proxy_input_dtype is None
+
 
 class TestImageFrameIoU:
     def test_inverse_crop_affine_round_trip(self):
