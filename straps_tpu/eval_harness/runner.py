@@ -25,7 +25,7 @@ from straps_tpu.geometry import get_intrinsics_matrix
 from straps_tpu.metrics import EvalMetricsTracker, compute_per_frame_metrics
 from straps_tpu.predict.pipeline import make_predict_fn, load_regressor_variables
 from straps_tpu.predict.proxy import batch_silhouettes_joints_to_proxies
-from straps_tpu.render import render_silhouette
+from straps_tpu.render import default_raster_backend, render_silhouette
 from straps_tpu.smpl import load_assets, smpl_forward, smpl_forward_axis_angle
 from straps_tpu.train.synthetic import select_joint_sets
 
@@ -57,7 +57,16 @@ def synthesise_proxy_inputs(poses: np.ndarray, shapes: np.ndarray, assets,
     mode for when a dataset ships no images/detections).
 
     Rendered in `chunk`-sized sub-batches (default: `gt_render_chunk_size`
-    — the XLA raster path's temporaries exceed HBM at whole-dataset B)."""
+    — the XLA raster path's temporaries exceed HBM at whole-dataset B).
+    On TPU the Pallas kernel is used instead (`default_raster_backend`):
+    1.8x faster measured (64 samples @256²: 3.3 s vs 6.0 s warm) and ~10x
+    less live memory; back faces culled (silhouette = parts > 0,
+    bit-identical under culling — KERNEL_NOTES round 5).  Kernel vs XLA
+    scan carry the standard ~0.2%-of-pixels edge-rule difference (same
+    tolerance the raster parity tests pin); GT and prediction silhouettes
+    always use the SAME backend, so IoU comparisons stay internally
+    consistent."""
+    backend = default_raster_backend(img_wh)
     if chunk is None:
         chunk = gt_render_chunk_size(img_wh)
     from straps_tpu.geometry import perspective_project
@@ -73,7 +82,8 @@ def synthesise_proxy_inputs(poses: np.ndarray, shapes: np.ndarray, assets,
         t = jnp.tile(jnp.asarray(cam_t, jnp.float32), (po.shape[0], 1))
         out = smpl_forward_axis_angle(assets, sh, po)
         sil, _ = render_silhouette(out.vertices, t, K, assets.faces, img_wh,
-                                   backend="xla")
+                                   backend=backend,
+                                   cull_backfaces=backend == "pallas")
         _, coco = select_joint_sets(out.joints)
         j2d = perspective_project(coco, jnp.eye(3), t, K)
         sils.append(np.asarray(sil))
@@ -269,13 +279,16 @@ def run_evaluation(dataset: Dict[str, np.ndarray], cfg: PredictConfig,
         if want_iou:
             # Chunk the prediction render like the GT path: the XLA raster
             # keeps ~8 (B, face_chunk, img_wh^2) temporaries live and OOMs
-            # HBM beyond chunk~16 at 256^2 (`gt_render_chunk_size`).
+            # HBM beyond chunk~16 at 256^2 (`gt_render_chunk_size`); on
+            # TPU the Pallas kernel runs instead (default_raster_backend).
+            backend = default_raster_backend(img_wh)
             rch = gt_render_chunk_size(img_wh)
             cam_t_dev = jnp.asarray(pred["cam_t"])
             pred_sil = jnp.concatenate([
                 render_silhouette(pred["verts"][s:s + rch],
                                   cam_t_dev[s:s + rch], K, assets.faces,
-                                  img_wh, backend="xla")[0]
+                                  img_wh, backend=backend,
+                                  cull_backfaces=backend == "pallas")[0]
                 for s in range(0, batch_size, rch)])
             if iou_frame == "image":
                 # Undo the crop per sample and compare at image resolution

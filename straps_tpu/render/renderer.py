@@ -98,6 +98,18 @@ def render_rgb(verts: jnp.ndarray, cam_t: jnp.ndarray, cam_K: jnp.ndarray,
     return rgb * fg[..., None], depth
 
 
+def default_raster_backend(img_wh: int) -> str:
+    """Pick the rasteriser backend for the CURRENT jax default device:
+    'pallas' (the fused TPU kernel — ~10x less live memory than the XLA
+    scan and faster) on accelerators for row-aligned sizes, 'xla' on CPU
+    (where Pallas would need slow interpret mode) and for img_wh not a
+    multiple of the kernel's 8-row strip."""
+    import jax
+    if jax.default_backend() == "cpu" or img_wh % 8:
+        return "xla"
+    return "pallas"
+
+
 def render_silhouette(verts, cam_t, cam_K, faces, img_wh,
                       cam_R=None, backend="pallas", interpret=False,
                       cull_backfaces=False):

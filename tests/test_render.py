@@ -275,6 +275,14 @@ class TestBackfaceCull:
         assert mismatch < 0.002, mismatch
 
 
+class TestDefaultBackend:
+    def test_cpu_and_unaligned_pick_xla(self):
+        from straps_tpu.render import default_raster_backend
+        # conftest pins the cpu platform -> always xla here.
+        assert default_raster_backend(256) == "xla"
+        assert default_raster_backend(250) == "xla"   # not 8-row aligned
+
+
 class TestPartsDecode:
     def test_face_ids_to_parts(self):
         fid = jnp.asarray(np.array([[-1, 0], [1, 2]], np.int32))
