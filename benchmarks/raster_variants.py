@@ -381,6 +381,20 @@ def main():
     planes = prepare_face_planes(screen, z, assets.faces).planes
     bounds = face_chunk_row_bounds(screen, assets.faces, FACE_CHUNK, 256)
 
+    # `cullall`: re-sweep every variant on backface-CULLED planes/bounds
+    # (round 5) — culling changes the band geometry, so the r3 tile-point
+    # conclusions deserve a re-check under it.
+    dead_all = None
+    if "cullall" in only:
+        only.discard("cullall")
+        from straps_tpu.render.raster import backface_mask, kill_faces
+        dead_all = backface_mask(screen, assets.faces)
+        planes = kill_faces(planes, dead_all)
+        bounds = face_chunk_row_bounds(screen, assets.faces, FACE_CHUNK,
+                                       256, dead_mask=dead_all)
+        print(f"[cullall: {float(np.asarray(dead_all).mean()):.2f} faces "
+              "dead]")
+
     def timeit(fn, *args, n=20):
         out = fn(*args)
         _ = np.asarray(out[0][:1, :1, :1])   # host-pull barrier
@@ -424,7 +438,8 @@ def main():
               f"(dead {float(np.asarray(dead).mean()):.2f}, band rows "
               f"{span(bounds):.1f} -> {span(bounds_c):.1f})")
 
-    bounds256 = face_chunk_row_bounds(screen, assets.faces, 256, 256)
+    bounds256 = face_chunk_row_bounds(screen, assets.faces, 256, 256,
+                                      dead_mask=dead_all)
     packed_variants = {
         "packed": dict(),
         "packed_rows16": dict(rows=16),
