@@ -9,7 +9,10 @@ input).  Default config is the fastest measured serving point — batch 1024,
 bf16 encoder compute (f32 SMPL math), UINT8 INPUT — from the round-5
 `benchmarks/headline_sweep.py` roofline sweep on v5e: {f32@512: 10903,
 bf16@512: 11749, bf16-in@1024: 13721, u8-in@512: 14203, u8-in@1024: 14438
-inf/s; bf16-in@1536 regresses; 2048 OOMs; input donation loses}.
+inf/s; bf16-in@1536 regresses; 2048 OOMs; input donation loses}.  The
+identity-pose SMPL fast path (smpl/model.py — the reposed forward skips
+the kinematic chain + skinning, an exact math identity) lifts the same
+point to 15484.
 
 On input dtype honesty: this benchmark's proxy is all-binary (as in every
 prior round), so uint8 is VALUE-EXACT here and quarters the stem's HBM

@@ -87,6 +87,7 @@ def smpl_forward(assets: SmplAssets,
     V = assets.num_verts
     dtype = assets.v_template.dtype
     eye = jnp.eye(3, dtype=dtype)
+    identity_pose = body_pose_rotmats is None and glob_rotmats is None
     if body_pose_rotmats is None:
         body_pose_rotmats = jnp.broadcast_to(eye, (B, 23, 3, 3))
     if glob_rotmats is None:
@@ -99,6 +100,20 @@ def smpl_forward(assets: SmplAssets,
     # 2. Rest-pose joints from the shaped template.
     joints_rest = jnp.einsum("jv,bvc->bjc", assets.J_regressor, v_shaped,
                              precision=precision)
+
+    if identity_pose:
+        # Identity-rotation fast path — the reference's `smpl(betas=...)`
+        # "reposed" call (`train_synthetic_otf_rendering.py:139-141`).
+        # With every rotation identity the pose-blendshape term is exactly
+        # zero and each skinning transform is exactly [I | 0] (its
+        # translation j - I*j cancels bitwise), so LBS is the identity map
+        # on v_shaped and the tree joints are the rest joints.  Skipping
+        # the kinematic chain + skinning saves ~8% of the serving pipeline
+        # (docs/ROOFLINE.md); outputs differ from the general path only by
+        # the float re-association of the skipped per-vertex
+        # sum_k w_k * v == v * sum_k w_k (~1 ulp).
+        return _joint_superset_output(assets, v_shaped, joints_rest,
+                                      precision)
 
     # 3. Pose blendshapes from the 23 body-joint rotations.
     pose_feature = (body_pose_rotmats - eye).reshape(B, 23 * 9)
@@ -119,6 +134,14 @@ def smpl_forward(assets: SmplAssets,
 
     # 6. Joint superset: 24 tree joints + 21 vertex keypoints + 45 regressed.
     tree_joints = G[..., :3, 3]
+    return _joint_superset_output(assets, verts, tree_joints, precision)
+
+
+def _joint_superset_output(assets: SmplAssets, verts: jnp.ndarray,
+                           tree_joints: jnp.ndarray,
+                           precision) -> SmplOutput:
+    """Assemble the 90-joint superset output (24 tree joints + 21 vertex
+    keypoints + 45 regressed — `models/smpl_official.py:27-41`)."""
     extra_ids = np.asarray(
         [C.SMPL_VERTEX_IDS[k] for k in C.SMPL_EXTRA_KEYPOINT_ORDER], np.int32)
     picked = verts[:, extra_ids, :]

@@ -80,6 +80,26 @@ class TestSmplForward:
         np.testing.assert_allclose(np.asarray(out.vertices[0]),
                                    np.asarray(assets.v_template), atol=1e-5)
 
+    def test_identity_fast_path_matches_general_lbs(self, assets):
+        """`smpl_forward(assets, betas)` takes the identity-rotation fast
+        path (skips the kinematic chain + skinning — exact math identity);
+        it must match the GENERAL path fed explicit identity rotmats to
+        float re-association noise (~1 ulp on metre-scale verts)."""
+        rng = np.random.RandomState(7)
+        betas = jnp.asarray(rng.randn(3, 10).astype(np.float32) * 0.8)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (3, 23, 3, 3))
+        eye1 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (3, 1, 3, 3))
+        fast = smpl_forward(assets, betas)
+        general = smpl_forward(assets, betas, body_pose_rotmats=eye,
+                               glob_rotmats=eye1)
+        np.testing.assert_allclose(np.asarray(fast.vertices),
+                                   np.asarray(general.vertices), atol=3e-6)
+        np.testing.assert_allclose(np.asarray(fast.joints),
+                                   np.asarray(general.joints), atol=3e-6)
+        np.testing.assert_allclose(np.asarray(fast.tree_joints),
+                                   np.asarray(general.tree_joints),
+                                   atol=3e-6)
+
     def test_global_rotation_rotates_mesh(self, assets):
         R = ScipyRotation.from_euler("y", 90, degrees=True).as_matrix().astype(np.float32)
         out_rest = smpl_forward(assets, jnp.zeros((1, 10)))
